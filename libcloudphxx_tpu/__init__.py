@@ -8,6 +8,6 @@ foundation, scaled over TPU meshes via jax.sharding.
 
 __version__ = "0.1.0"
 
-from . import common
+from . import blk_1m, common
 
-__all__ = ["common", "__version__"]
+__all__ = ["blk_1m", "common", "__version__"]
