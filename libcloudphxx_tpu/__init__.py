@@ -8,6 +8,6 @@ foundation, scaled over TPU meshes via jax.sharding.
 
 __version__ = "0.1.0"
 
-from . import blk_1m, common
+from . import blk_1m, blk_2m, common
 
-__all__ = ["blk_1m", "common", "__version__"]
+__all__ = ["blk_1m", "blk_2m", "common", "__version__"]
