@@ -1,0 +1,256 @@
+"""Super-droplet initialisation.
+
+TPU-native equivalent of reference src/impl/initialization/ (28 files, SURVEY
+section 2.2).  Initialisation happens once, host-side: distribution analysis
+runs in numpy (mirroring init_dist_analysis.ipp), sampling fills the
+fixed-capacity state arrays, and the kappa-Koehler equilibrium wet radius is
+solved on-device with the batched bracketing solver (init_wet.ipp:18-77).
+
+Modes implemented: ``sd_conc`` (stratified ln-radius sampling, exact SD count
+per cell — init_SD_with_distros_sd_conc.ipp), ``sd_const_multi`` (uniform
+ln-radius sampling with constant multiplicity — init_SD_with_distros_
+const_multi.ipp), and ``dry_sizes`` (fixed radius/concentration pairs).
+"""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..common import constants as c
+from ..common import kappa_koehler
+from . import hskpng
+from .state import State, StaticConfig
+
+# reference src/detail/config.hpp:21-24
+RD_MIN_INIT = 1e-14
+RD_MAX_INIT = 1e-3
+CONST_MULTI_THRESHOLD = 1e20
+
+
+def _dist_analysis_sd_conc(fun, sd_conc, cell_vol, rd_min=-1.0, rd_max=-1.0):
+    """Detect the [rd_min, rd_max] support of n(ln rd) and the multiplicity
+    coefficient (reference init_dist_analysis.ipp:17-80).
+
+    Returns (log_rd_min, log_rd_max, multiplier)."""
+    if rd_min >= 0 and rd_max >= 0:
+        mult = math.log(rd_max / rd_min) / sd_conc * cell_vol
+        return math.log(rd_min), math.log(rd_max), mult
+    if not (rd_min < 0 and rd_max < 0):
+        raise ValueError("opts_init.rd_min * opts_init.rd_max < 0")
+
+    lo, hi = RD_MIN_INIT, RD_MAX_INIT
+    while True:
+        mult = math.log(hi / lo) / sd_conc * cell_vol
+        # the reference evaluates these into an integer multiplicity type,
+        # so sub-1 values count as zero (init_dist_analysis.ipp:63-65)
+        n_min = int(float(fun(math.log(lo))) * mult)
+        n_max = int(float(fun(math.log(hi))) * mult)
+        if lo == RD_MIN_INIT and n_min != 0:
+            raise RuntimeError(
+                f"Initial dry distribution non-zero ({n_min}) at rd_min_init"
+            )
+        if hi == RD_MAX_INIT and n_max != 0:
+            raise RuntimeError(
+                f"Initial dry distribution non-zero ({n_max}) at rd_max_init"
+            )
+        if n_min == 0:
+            lo *= 1.01
+        elif n_max == 0:
+            hi /= 1.01
+        else:
+            return math.log(lo), math.log(hi), mult
+
+
+def _dist_analysis_const_multi(fun):
+    """Support detection for const-multi mode: bound where the distribution
+    falls below max/threshold (reference init_dist_analysis.ipp:83-122)."""
+    lnr = np.linspace(math.log(RD_MIN_INIT), math.log(RD_MAX_INIT), 20001)
+    vals = np.array([float(fun(x)) for x in lnr])
+    peak = vals.max()
+    bound = peak / CONST_MULTI_THRESHOLD
+    above = np.nonzero(vals > bound)[0]
+    if len(above) == 0:
+        raise RuntimeError("const-multi distribution analysis: empty support")
+    return float(lnr[above[0]]), float(lnr[above[-1]])
+
+
+def init_SD(cfg: StaticConfig, oi, state: State, rng: np.random.Generator,
+            rhod_host: np.ndarray) -> State:
+    """Create the initial super-droplet population in ``state``'s
+    fixed-capacity arrays (reference init_SD_with_distros.ipp +
+    init_SD_with_sizes.ipp orchestration)."""
+    n_cell = cfg.n_cell
+    cell_vol = (
+        1.0 / float(rhod_host[0]) if cfg.n_dims == 0
+        else cfg.dx * cfg.dy * cfg.dz
+    )
+
+    # host-side accumulation, then one device upload
+    lnrd_l, n_l, kpa_l, ijk_l = [], [], [], []
+
+    def cell_volumes():
+        if cfg.n_dims == 0:
+            return 1.0 / np.asarray(rhod_host)
+        return np.full(n_cell, cfg.dx * cfg.dy * cfg.dz)
+
+    dv_host = cell_volumes()
+
+    if oi.dry_distros and oi.sd_conc > 0:
+        # --- sd_conc mode (init_SD_with_distros_sd_conc.ipp:14-45)
+        analyses = {}
+        for key, fun in oi.dry_distros.items():
+            kappa = key[0] if isinstance(key, tuple) else key
+            analyses[key] = _dist_analysis_sd_conc(
+                fun, oi.sd_conc, cell_vol, oi.rd_min, oi.rd_max
+            )
+        tot_rng = sum(a[1] - a[0] for a in analyses.values())
+
+        for key, fun in oi.dry_distros.items():
+            kappa = key[0] if isinstance(key, tuple) else key
+            log_lo, log_hi, mult = analyses[key]
+            fraction = (log_hi - log_lo) / tot_rng
+            count = int(fraction * oi.sd_conc + 0.5)  # SDs per cell
+            if count == 0:
+                continue
+            # rounding correction (init_SD_with_distros_sd_conc.ipp:27-29)
+            mult *= oi.sd_conc / count
+
+            # stratified ln(rd) sampling within each cell
+            # (init_dry_sd_conc.ipp:27-37 calc_lnrd)
+            u01 = rng.random((n_cell, count))
+            strata = (np.arange(count)[None, :] + u01) / count
+            lnrd = log_lo + strata * (log_hi - log_lo)
+
+            # multiplicity = n(lnrd) * multiplier, STP-corrected by rhod,
+            # volume-adjusted (init_n.ipp:80-135)
+            n_of = np.array(
+                [[float(fun(v)) for v in row] for row in lnrd]
+            ) * mult
+            if not oi.aerosol_independent_of_rhod:
+                n_of *= np.asarray(rhod_host)[:, None] / c.rho_stp
+            if cfg.n_dims > 0:
+                n_of *= dv_host[:, None] / (cfg.dx * cfg.dy * cfg.dz)
+            multiplicity = np.floor(n_of + 0.5)
+
+            lnrd_l.append(lnrd.ravel())
+            n_l.append(multiplicity.ravel())
+            kpa_l.append(np.full(n_cell * count, kappa))
+            ijk_l.append(np.repeat(np.arange(n_cell), count))
+
+    elif oi.dry_distros and oi.sd_const_multi > 0:
+        # --- const-multi mode (init_SD_with_distros_const_multi.ipp)
+        for key, fun in oi.dry_distros.items():
+            kappa = key[0] if isinstance(key, tuple) else key
+            log_lo, log_hi = _dist_analysis_const_multi(fun)
+            # expected total number of particles in each cell / multiplicity
+            # via trapezoid integral of n(lnrd)
+            lnr = np.linspace(log_lo, log_hi, 10001)
+            vals = np.array([float(fun(x)) for x in lnr])
+            conc = np.trapezoid(vals, lnr)  # [1/m3] @ STP
+            for cell in range(n_cell):
+                n_in_cell = conc * dv_host[cell]
+                if not oi.aerosol_independent_of_rhod:
+                    n_in_cell *= float(rhod_host[cell]) / c.rho_stp
+                count = int(n_in_cell / oi.sd_const_multi + 0.5)
+                if count == 0:
+                    continue
+                # inverse-CDF sampling of lnrd
+                cdf = np.concatenate([[0.0], np.cumsum(
+                    0.5 * (vals[1:] + vals[:-1]) * np.diff(lnr))])
+                cdf /= cdf[-1]
+                lnrd = np.interp(rng.random(count), cdf, lnr)
+                lnrd_l.append(lnrd)
+                n_l.append(np.full(count, float(oi.sd_const_multi)))
+                kpa_l.append(np.full(count, kappa))
+                ijk_l.append(np.full(count, cell, dtype=np.int64))
+
+    if oi.dry_sizes:
+        # --- dry_sizes mode (init_SD_with_sizes.ipp)
+        for key, sizes in oi.dry_sizes.items():
+            kappa = key[0] if isinstance(key, tuple) else key
+            for radius, (conc, sd_count) in sizes.items():
+                sd_count = int(sd_count)
+                for cell in range(n_cell):
+                    number = conc * dv_host[cell]
+                    if not oi.aerosol_independent_of_rhod:
+                        number *= float(rhod_host[cell]) / c.rho_stp
+                    multiplicity = math.floor(number / sd_count + 0.5)
+                    lnrd_l.append(np.full(sd_count, math.log(radius)))
+                    n_l.append(np.full(sd_count, float(multiplicity)))
+                    kpa_l.append(np.full(sd_count, kappa))
+                    ijk_l.append(np.full(sd_count, cell, dtype=np.int64))
+
+    if not lnrd_l:
+        raise ValueError(
+            "lgrngn init: no SD init mode selected "
+            "(set sd_conc, sd_const_multi or dry_sizes)"
+        )
+
+    lnrd = np.concatenate(lnrd_l)
+    mult = np.concatenate(n_l)
+    kpa = np.concatenate(kpa_l)
+    ijk = np.concatenate(ijk_l).astype(np.int32)
+    n_part = lnrd.size
+    if n_part > cfg.n_sd_max:
+        raise RuntimeError(
+            f"lgrngn init: n_part ({n_part}) exceeds n_sd_max ({cfg.n_sd_max})"
+        )
+
+    # positions: uniform within the cell (init_xyz.ipp:17-35)
+    def cell_coord(idx, n_axis, x0, dxa, sub):
+        return x0 + (idx + sub) * dxa
+
+    pad = cfg.n_sd_max - n_part
+    dtype = state.rd3.dtype
+
+    def padded(arr, fill=0.0):
+        return jnp.asarray(
+            np.concatenate([arr, np.full(pad, fill)]), dtype
+        )
+
+    # decompose ravelled ijk back into (i, j, k) per the ordering of
+    # hskpng.ijk_of_xyz (i outermost, k innermost)
+    idx = ijk.copy()
+    dims = []
+    if cfg.nz > 1 or cfg.n_dims >= 2:
+        dims.append(("z", cfg.nz, cfg.z0, cfg.dz))
+    if cfg.ny > 1:
+        dims.insert(0, ("y", cfg.ny, cfg.y0, cfg.dy))
+    if cfg.n_dims >= 1:
+        dims.insert(0, ("x", cfg.nx, cfg.x0, cfg.dx))
+    coords = {"x": np.zeros(n_part), "y": np.zeros(n_part),
+              "z": np.zeros(n_part)}
+    for name, n_axis, a0, da in reversed(dims):
+        axis_idx = idx % n_axis
+        idx //= n_axis
+        coords[name] = a0 + (axis_idx + rng.random(n_part)) * da
+
+    state = dataclasses.replace(
+        state,
+        n=padded(mult),
+        rd3=padded(np.exp(3.0 * lnrd), fill=1e-30),
+        kpa=padded(kpa),
+        x=padded(coords["x"]),
+        y=padded(coords["y"]),
+        z=padded(coords["z"]),
+        ijk=jnp.asarray(
+            np.concatenate([ijk, np.zeros(pad, np.int32)]), jnp.int32
+        ),
+        vt=jnp.zeros((cfg.n_sd_max,), dtype),
+    )
+    return state
+
+
+def init_wet(cfg: StaticConfig, state: State, RH_max) -> State:
+    """Equilibrium wet radius at min(RH, RH_max) via the batched
+    kappa-Koehler root solve (reference init_wet.ipp:18-77)."""
+    RH_sd = jnp.minimum(state.RH[state.ijk], RH_max)
+    T_sd = state.T[state.ijk]
+    rw3 = kappa_koehler.rw3_eq(state.rd3, state.kpa, RH_sd, T_sd)
+    rw2 = rw3 ** (2.0 / 3)
+    return dataclasses.replace(
+        state, rw2=jnp.where(state.n > 0, rw2, 0.0)
+    )

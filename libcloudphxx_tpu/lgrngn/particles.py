@@ -1,0 +1,316 @@
+"""The particles_t API — the Euler-Lagrange coupling surface of the SDM engine.
+
+TPU-native equivalent of reference include/libcloudph++/lgrngn/particles.hpp:16-134
+(particles_proto_t) and src/particles_{ctor,init,step,diag}.ipp.  The public
+contract is the reference's three-phase stepping (init / step_sync==sync_in+
+step_cond / step_async) with the same strict call-order state machine
+(particles_impl.ipp:32, particles_step.ipp:44-47,169-175,343-345), while the
+numerics live in pure jitted functions over the State pytree.
+
+Host arrays passed to ``init``/``step_sync`` are numpy arrays that get written
+back in place on sync-out, mirroring the arrinfo_t ABI (arrinfo.hpp:10-49).
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import condensation, hskpng, init as init_mod
+from .enums import backend_t
+from .opts import opts_init_t, opts_t
+from .state import PUDDLE_KEYS, State, StaticConfig, empty_state
+
+
+def _as_flat(arr, n_cell, name):
+    if arr is None:
+        return None
+    a = np.asarray(arr, dtype=np.float64).reshape(-1)
+    if a.size != n_cell:
+        raise ValueError(
+            f"lgrngn: {name} has {a.size} elements, expected {n_cell}"
+        )
+    return a
+
+
+@partial(jax.jit, static_argnums=0)
+def _step_cond_jit(cfg: StaticConfig, state: State, dt, RH_max):
+    state = hskpng.hskpng_Tpr(cfg, state)
+    state = condensation.cond_percell(cfg, state, dt, RH_max)
+    state = condensation.sstp_save(state)
+    return state
+
+
+@partial(jax.jit, static_argnums=0)
+def _tpr_jit(cfg: StaticConfig, state: State):
+    return hskpng.hskpng_Tpr(cfg, state)
+
+
+@partial(jax.jit, static_argnums=(0, 2))
+def _moms_calc_jit(cfg, state, power, n_filtered, attr):
+    return hskpng.segment_moment(
+        cfg, n_filtered, attr, power, state.ijk,
+        dv=state.dv, rhod=state.rhod, specific=True,
+    )
+
+
+class particles_t:
+    """Reference particles_proto_t equivalent (particles.hpp:16-134)."""
+
+    def __init__(self, backend: backend_t, opts_init: opts_init_t):
+        self.backend = backend
+        self.opts_init = opts_init
+        if opts_init.n_sd_max == 0:
+            raise ValueError("lgrngn: n_sd_max == 0")
+        if opts_init.dt <= 0:
+            raise ValueError("lgrngn: opts_init.dt must be positive")
+        if opts_init.th_dry == opts_init.const_p:
+            raise ValueError(
+                "lgrngn: exactly one of th_dry/const_p must be true"
+            )
+        self.cfg = StaticConfig.from_opts_init(opts_init)
+        self.state = empty_state(self.cfg)
+        # call-order state machine (reference particles_impl.ipp:32)
+        self._init_called = False
+        self._should_now_run_async = False
+        self._should_now_run_cond = False
+        # diag selection cache (the reference's n_filtered temp vector)
+        self._n_filtered = None
+        self._outbuf = np.zeros(self.cfg.n_cell)
+
+    # ------------------------------------------------------------------ init
+    def init(self, th, rv, rhod, p=None, courant_x=None, courant_y=None,
+             courant_z=None, ambient_chem=None):
+        """(reference src/particles_init.ipp:16-131)"""
+        if self._init_called:
+            raise RuntimeError("libcloudphxx: init() may be called just once")
+        self._init_called = True
+        oi = self.opts_init
+        n_cell = self.cfg.n_cell
+
+        th = _as_flat(th, n_cell, "th")
+        rv = _as_flat(rv, n_cell, "rv")
+        rhod = _as_flat(rhod, n_cell, "rhod")
+        p_arr = _as_flat(p, n_cell, "p")
+        if self.cfg.const_p and p_arr is None:
+            raise ValueError("lgrngn: const_p requires a pressure profile")
+
+        st = self.state
+        st = dataclasses.replace(
+            st,
+            th=jnp.asarray(th),
+            rv=jnp.asarray(rv),
+            rhod=jnp.asarray(rhod),
+            p=jnp.asarray(p_arr if p_arr is not None else np.zeros(n_cell)),
+            key=jax.random.PRNGKey(oi.rng_seed),
+        )
+        if self.cfg.n_dims > 0:
+            dv = np.full(n_cell, self.cfg.dx * self.cfg.dy * self.cfg.dz)
+            st = dataclasses.replace(st, dv=jnp.asarray(dv))
+
+        st = hskpng.hskpng_Tpr(self.cfg, st)
+
+        # SD creation with the init seed (particles_init.ipp:30-32, :130)
+        seed = (
+            oi.rng_seed_init if oi.rng_seed_init_switch else oi.rng_seed
+        )
+        rng = np.random.default_rng(seed)
+        if not oi.no_ccn_at_init:
+            st = init_mod.init_SD(self.cfg, oi, st, rng, rhod)
+            st = init_mod.init_wet(self.cfg, st, oi.RH_max)
+
+        st = condensation.sstp_save(st)
+        self.state = st
+        self._should_now_run_cond = False
+        self._should_now_run_async = False
+
+    # ------------------------------------------------------------- stepping
+    def sync_in(self, th=None, rv=None, rhod=None, courant_x=None,
+                courant_y=None, courant_z=None, ambient_chem=None):
+        """(reference particles_step.ipp:32-158)"""
+        if not self._init_called:
+            raise RuntimeError(
+                "libcloudphxx: please call init() before calling step_sync()"
+            )
+        if self._should_now_run_async:
+            raise RuntimeError(
+                "libcloudphxx: please call step_async() before calling "
+                "step_sync() again"
+            )
+        n_cell = self.cfg.n_cell
+        updates = {}
+        for name, arr in (("th", th), ("rv", rv), ("rhod", rhod)):
+            a = _as_flat(arr, n_cell, name)
+            if a is not None:
+                updates[name] = jnp.asarray(a)
+        if updates:
+            self.state = dataclasses.replace(self.state, **updates)
+        self._should_now_run_cond = True
+
+    def step_cond(self, opts: opts_t, th=None, rv=None, ambient_chem=None):
+        """(reference particles_step.ipp:161-336).  Writes the updated th/rv
+        back into the passed numpy arrays (sync-out)."""
+        if not self._should_now_run_cond:
+            raise RuntimeError(
+                "libcloudphxx: please call sync_in() before calling step_cond()"
+            )
+        self._should_now_run_cond = False
+        dt = float(opts.dt) if opts.dt > 0 else self.cfg.dt
+        if opts.cond:
+            self.state = _step_cond_jit(
+                self.cfg, self.state, dt, float(opts.RH_max)
+            )
+            # sync out
+            if th is not None:
+                np.asarray(th).reshape(-1)[:] = np.asarray(self.state.th)
+            if rv is not None:
+                np.asarray(rv).reshape(-1)[:] = np.asarray(self.state.rv)
+        self._should_now_run_async = True
+
+    def step_sync(self, opts: opts_t, th, rv, rhod=None, courant_x=None,
+                  courant_y=None, courant_z=None, ambient_chem=None):
+        """step_sync = sync_in + step_cond (reference particles_step.ipp:15-29)."""
+        self.sync_in(th=th, rv=rv, rhod=rhod, courant_x=courant_x,
+                     courant_y=courant_y, courant_z=courant_z)
+        self.step_cond(opts, th=th, rv=rv)
+
+    def step_async(self, opts: opts_t):
+        """Transport phase (reference particles_step.ipp:339-494).
+        Coalescence/advection/sedimentation arrive in later milestones; the
+        call-order bookkeeping is already the reference's."""
+        if not self._should_now_run_async:
+            raise RuntimeError(
+                "libcloudphxx: please call step_sync() before calling "
+                "step_async() again"
+            )
+        self._should_now_run_async = False
+
+    # ----------------------------------------------------------- diagnostics
+    def _require_init(self):
+        if not self._init_called:
+            raise RuntimeError("libcloudphxx: init() has not been called")
+
+    def _set_outbuf(self, per_cell):
+        self._outbuf = np.asarray(per_cell, dtype=np.float64)
+
+    def diag_pressure(self):
+        self._require_init()
+        st = _tpr_jit(self.cfg, self.state)
+        self._set_outbuf(st.p)
+
+    def diag_temperature(self):
+        self._require_init()
+        st = _tpr_jit(self.cfg, self.state)
+        self._set_outbuf(st.T)
+
+    def diag_RH(self):
+        self._require_init()
+        st = _tpr_jit(self.cfg, self.state)
+        self._set_outbuf(st.RH)
+
+    # --- selection filters (reference particles_diag.ipp:224-340)
+    def diag_all(self):
+        self._require_init()
+        self._n_filtered = self.state.n
+
+    def diag_dry_rng(self, r_min, r_max):
+        self._require_init()
+        rd3 = self.state.rd3
+        sel = (rd3 >= r_min**3) & (rd3 < r_max**3)
+        self._n_filtered = jnp.where(sel, self.state.n, 0.0)
+
+    def diag_wet_rng(self, r_min, r_max):
+        self._require_init()
+        rw2 = self.state.rw2
+        sel = (rw2 >= r_min**2) & (rw2 < r_max**2)
+        self._n_filtered = jnp.where(sel, self.state.n, 0.0)
+
+    def diag_kappa_rng(self, k_min, k_max):
+        self._require_init()
+        kpa = self.state.kpa
+        sel = (kpa >= k_min) & (kpa < k_max)
+        self._n_filtered = jnp.where(sel, self.state.n, 0.0)
+
+    def _cons(self, sel):
+        if self._n_filtered is None:
+            raise RuntimeError("libcloudphxx: consecutive filter without "
+                               "a previous selection")
+        self._n_filtered = jnp.where(sel, self._n_filtered, 0.0)
+
+    def diag_dry_rng_cons(self, r_min, r_max):
+        rd3 = self.state.rd3
+        self._cons((rd3 >= r_min**3) & (rd3 < r_max**3))
+
+    def diag_wet_rng_cons(self, r_min, r_max):
+        rw2 = self.state.rw2
+        self._cons((rw2 >= r_min**2) & (rw2 < r_max**2))
+
+    def diag_kappa_rng_cons(self, k_min, k_max):
+        kpa = self.state.kpa
+        self._cons((kpa >= k_min) & (kpa < k_max))
+
+    def _check_selected(self):
+        if self._n_filtered is None:
+            raise RuntimeError(
+                "libcloudphxx: please select SDs before calling a moment diag"
+            )
+
+    def diag_sd_conc(self):
+        """SD count (not multiplicity) per cell of the selected population
+        (reference particles_diag.ipp:196-219)."""
+        self._check_selected()
+        counts = hskpng.sd_count_per_cell(
+            self.cfg, self._n_filtered, self.state.ijk
+        )
+        self._set_outbuf(counts)
+
+    def diag_dry_mom(self, n):
+        self._check_selected()
+        self._set_outbuf(_moms_calc_jit(
+            self.cfg, self.state, n / 3.0, self._n_filtered, self.state.rd3
+        ))
+
+    def diag_wet_mom(self, n):
+        self._check_selected()
+        self._set_outbuf(_moms_calc_jit(
+            self.cfg, self.state, n / 2.0, self._n_filtered, self.state.rw2
+        ))
+
+    def diag_kappa_mom(self, n):
+        self._check_selected()
+        self._set_outbuf(_moms_calc_jit(
+            self.cfg, self.state, float(n), self._n_filtered, self.state.kpa
+        ))
+
+    def diag_puddle(self):
+        """(reference particles_impl_bcnd.ipp puddle accumulators)"""
+        self._require_init()
+        vals = np.asarray(self.state.puddle)
+        return dict(zip(PUDDLE_KEYS, vals.tolist()))
+
+    def outbuf(self):
+        """Last diagnostic, as a (n_cell,) float64 numpy array
+        (reference particles.hpp outbuf + fill_outbuf.ipp:13-37)."""
+        return np.ascontiguousarray(self._outbuf)
+
+    def get_attr(self, name):
+        """Raw per-SD attribute dump (reference fill_outbuf.ipp:39-100)."""
+        self._require_init()
+        mapping = {
+            "rd3": self.state.rd3, "rw2": self.state.rw2,
+            "kpa": self.state.kpa, "n": self.state.n,
+            "x": self.state.x, "y": self.state.y, "z": self.state.z,
+            "vt": self.state.vt,
+        }
+        if name not in mapping:
+            raise ValueError(f"lgrngn: unknown attribute {name!r}")
+        return np.asarray(mapping[name])
+
+
+def factory(backend: backend_t, opts_init: opts_init_t) -> particles_t:
+    """Runtime backend dispatch (reference src/lib.cpp:12-44).  All backends
+    map onto the single JAX execution path; the enum is accepted for source
+    compatibility."""
+    return particles_t(backend, opts_init)

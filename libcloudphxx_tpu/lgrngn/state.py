@@ -1,0 +1,178 @@
+"""SDM state containers — pytrees of fixed-capacity arrays.
+
+TPU-native redesign of the reference's per-SD/per-cell device vectors
+(reference src/impl/particles_impl.ipp:66-146).  Instead of resizable thrust
+vectors with remove_if compaction, state lives in fixed-capacity (n_sd_max,)
+arrays where multiplicity n == 0 marks a dead slot (the reference's
+n==0-then-remove dance, hskpng_remove.ipp:20-80, becomes masking).  Everything
+is a pytree, so the whole engine state jits, shards, and checkpoints as one
+object.
+"""
+
+from dataclasses import dataclass, field, fields
+
+import jax
+import jax.numpy as jnp
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class StaticConfig:
+    """Hashable snapshot of the opts_init fields that shape the compiled
+    program (grid geometry, substep counts, formula selections).  Passed as a
+    static argument to every jitted kernel."""
+
+    n_dims: int = field(metadata=dict(static=True))
+    nx: int = field(metadata=dict(static=True))
+    ny: int = field(metadata=dict(static=True))
+    nz: int = field(metadata=dict(static=True))
+    n_cell: int = field(metadata=dict(static=True))
+    n_sd_max: int = field(metadata=dict(static=True))
+    dx: float = field(metadata=dict(static=True))
+    dy: float = field(metadata=dict(static=True))
+    dz: float = field(metadata=dict(static=True))
+    x0: float = field(metadata=dict(static=True))
+    x1: float = field(metadata=dict(static=True))
+    y0: float = field(metadata=dict(static=True))
+    y1: float = field(metadata=dict(static=True))
+    z0: float = field(metadata=dict(static=True))
+    z1: float = field(metadata=dict(static=True))
+    dt: float = field(metadata=dict(static=True))
+    sstp_cond: int = field(metadata=dict(static=True))
+    sstp_coal: int = field(metadata=dict(static=True))
+    th_dry: bool = field(metadata=dict(static=True))
+    const_p: bool = field(metadata=dict(static=True))
+    RH_formula: int = field(metadata=dict(static=True))
+    adve_scheme: int = field(metadata=dict(static=True))
+    terminal_velocity: int = field(metadata=dict(static=True))
+    kernel: int = field(metadata=dict(static=True))
+    exact_sstp_cond: bool = field(metadata=dict(static=True))
+    variable_dt: bool = field(metadata=dict(static=True))
+    sedi_switch: bool = field(metadata=dict(static=True))
+    coal_switch: bool = field(metadata=dict(static=True))
+    turb_cond_switch: bool = field(metadata=dict(static=True))
+    open_side_walls: bool = field(metadata=dict(static=True))
+    periodic_topbot_walls: bool = field(metadata=dict(static=True))
+
+    def __hash__(self):
+        return hash(tuple(getattr(self, f.name) for f in fields(self)))
+
+    def __eq__(self, other):
+        return isinstance(other, StaticConfig) and all(
+            getattr(self, f.name) == getattr(other, f.name) for f in fields(self)
+        )
+
+    @classmethod
+    def from_opts_init(cls, oi):
+        return cls(
+            n_dims=oi.n_dims,
+            nx=max(1, oi.nx), ny=max(1, oi.ny), nz=max(1, oi.nz),
+            n_cell=oi.n_cell,
+            n_sd_max=int(oi.n_sd_max),
+            dx=float(oi.dx), dy=float(oi.dy), dz=float(oi.dz),
+            x0=float(oi.x0), x1=float(oi.x1),
+            y0=float(oi.y0), y1=float(oi.y1),
+            z0=float(oi.z0), z1=float(oi.z1),
+            dt=float(oi.dt),
+            sstp_cond=int(oi.sstp_cond),
+            sstp_coal=int(oi.sstp_coal),
+            th_dry=bool(oi.th_dry),
+            const_p=bool(oi.const_p),
+            RH_formula=oi.RH_formula.value,
+            adve_scheme=oi.adve_scheme.value,
+            terminal_velocity=oi.terminal_velocity.value,
+            kernel=oi.kernel.value,
+            exact_sstp_cond=bool(oi.exact_sstp_cond),
+            variable_dt=bool(oi.variable_dt_switch),
+            sedi_switch=bool(oi.sedi_switch),
+            coal_switch=bool(oi.coal_switch),
+            turb_cond_switch=bool(oi.turb_cond_switch),
+            open_side_walls=bool(oi.open_side_walls),
+            periodic_topbot_walls=bool(oi.periodic_topbot_walls),
+        )
+
+
+@jax.tree_util.register_dataclass
+@dataclass
+class State:
+    """The full engine state: per-SD attributes, Eulerian cell mirrors,
+    diagnosed cell fields, substepping state and the RNG key.
+
+    Per-SD arrays have shape (n_sd_max,); cell arrays (n_cell,).
+    Mirrors reference src/impl/particles_impl.ipp:66-146.
+    """
+
+    # --- per-SD attributes (particles_impl.ipp:66-99)
+    n: jax.Array       # multiplicity; 0 == dead slot (f64 holds exact ints)
+    rd3: jax.Array     # dry radius cubed [m3]
+    rw2: jax.Array     # wet radius squared [m2]
+    kpa: jax.Array     # kappa hygroscopicity
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    vt: jax.Array      # terminal velocity [m/s]
+    ijk: jax.Array     # linear cell index (i32); dead slots point at cell 0
+
+    # --- Eulerian mirrors (particles_impl.ipp:122-146)
+    th: jax.Array
+    rv: jax.Array
+    rhod: jax.Array
+    p: jax.Array
+    courant_x: jax.Array   # (nx+1)*ny*nz when present, else shape (0,)
+    courant_y: jax.Array
+    courant_z: jax.Array
+
+    # --- diagnosed cell fields
+    T: jax.Array
+    RH: jax.Array
+    eta: jax.Array
+    dv: jax.Array      # cell volume [m3] (parcel: 1/rhod, i.e. 1 kg of air)
+
+    # --- per-cell condensation substepping state (sstp_save semantics)
+    sstp_tmp_th: jax.Array
+    sstp_tmp_rv: jax.Array
+    sstp_tmp_rh: jax.Array
+
+    # --- bookkeeping
+    key: jax.Array          # jax.random key (run sequence)
+    puddle: jax.Array       # (9,) accumulators keyed by common.output_t
+
+    @property
+    def n_sd_max(self):
+        return self.n.shape[0]
+
+    @property
+    def n_cell(self):
+        return self.th.shape[0]
+
+
+# puddle accumulator slots, mirroring common/output.hpp:8-42 output_t
+PUDDLE_KEYS = (
+    "liq_vol", "dry_vol", "liq_num", "prtcl_num", "ice_mass", "ice_num",
+    "chem_S_VI", "chem_NH4", "chem_NO3",
+)
+
+
+def empty_state(cfg: StaticConfig, dtype=jnp.float64) -> State:
+    """Allocate an all-dead-slot state for a given static config."""
+    n_sd = cfg.n_sd_max
+    n_cell = cfg.n_cell
+    zsd = jnp.zeros((n_sd,), dtype)
+    zc = jnp.zeros((n_cell,), dtype)
+    if cfg.n_dims >= 1:
+        ncx = (cfg.nx + 1) * cfg.ny * cfg.nz
+    else:
+        ncx = 0
+    return State(
+        n=zsd, rd3=zsd, rw2=zsd, kpa=zsd,
+        x=zsd, y=zsd, z=zsd, vt=zsd,
+        ijk=jnp.zeros((n_sd,), jnp.int32),
+        th=zc, rv=zc, rhod=zc, p=zc,
+        courant_x=jnp.zeros((ncx,), dtype),
+        courant_y=jnp.zeros((0,), dtype),
+        courant_z=jnp.zeros((0,), dtype),
+        T=zc, RH=zc, eta=zc, dv=jnp.ones((n_cell,), dtype),
+        sstp_tmp_th=zc, sstp_tmp_rv=zc, sstp_tmp_rh=zc,
+        key=jax.random.PRNGKey(44),
+        puddle=jnp.zeros((len(PUDDLE_KEYS),), dtype),
+    )

@@ -1,0 +1,222 @@
+"""SDM 0-D parcel tests.
+
+Oracles mirror reference tests/python/physics/lgrngn_cond.py (end-state th/rv
+and supersaturation gates) and tests/python/unit/api_lgrngn.py (exact SD
+counts/multiplicities, call-order state machine, kappa-filtered moments).
+"""
+
+from math import exp, log, pi, sqrt
+
+import numpy as np
+import pytest
+
+from libcloudphxx_tpu import lgrngn
+from libcloudphxx_tpu.common import constants as c
+from libcloudphxx_tpu.common import theta_dry
+
+
+def lognormal(lnr):
+    mean_r, stdev, n_tot = 0.04e-6 / 2, 1.4, 60e6
+    return (
+        n_tot * exp(-((lnr - log(mean_r)) ** 2) / 2 / log(stdev) ** 2)
+        / log(stdev) / sqrt(2 * pi)
+    )
+
+
+def make_opts_init(**kw):
+    oi = lgrngn.opts_init_t()
+    oi.dry_distros = {(0.61, 0.0): lognormal}
+    oi.coal_switch = False
+    oi.sedi_switch = False
+    oi.RH_max = 0.999
+    oi.dt = 1
+    oi.sd_conc = 100
+    oi.n_sd_max = 100
+    for k, v in kw.items():
+        setattr(oi, k, v)
+    return oi
+
+
+def make_opts():
+    opts = lgrngn.opts_t()
+    opts.adve = opts.sedi = opts.coal = opts.chem_dsl = False
+    opts.cond = True
+    return opts
+
+
+# expected end state (reference lgrngn_cond.py:53-57)
+EXP_TH = {True: 306.9, False: 307.78}
+EXP_RV = {True: 1.628e-2, False: 1.7e-2}
+
+
+@pytest.mark.parametrize("constp", [False, True])
+@pytest.mark.parametrize("sstp", [1, 10])
+def test_parcel_condensation(constp, sstp):
+    oi = make_opts_init(sstp_cond=sstp)
+    opts = make_opts()
+
+    rhod = np.array([1.0])
+    th = np.array([300.0])
+    rv = np.array([0.02])
+    T0 = float(theta_dry.T(th[0], rhod[0]))
+    p = np.array([float(theta_dry.p(rhod[0], rv[0], T0))])
+
+    if constp:
+        th[0] = float(theta_dry.dry2std(th[0], rv[0]))
+        oi.const_p = True
+        oi.th_dry = False
+
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    prtcls.init(th, rv, rhod, p if constp else None)
+
+    prtcls.diag_RH()
+    assert prtcls.outbuf()[0] > 2.0  # strongly supersaturated at t=0
+
+    for _ in range(40):
+        prtcls.step_sync(opts, th, rv, rhod)
+        prtcls.step_async(opts)
+
+    prtcls.diag_RH()
+    ss = (prtcls.outbuf()[0] - 1) * 100
+    # reference gates (lgrngn_cond.py:137-179)
+    assert abs(ss) < 4.5e-3
+    assert abs(th[0] - EXP_TH[constp]) < 1e-4 * EXP_TH[constp]
+    assert abs(rv[0] - EXP_RV[constp]) < 1e-3 * EXP_RV[constp]
+
+    # evaporation phase: subsaturate; all previously condensed water must
+    # return to vapour (reference lgrngn_cond.py:141-160 rv_diff < 1e-9)
+    condensed = 0.02 - rv[0]
+    rv[0] = 0.002
+    rv_evap_start = rv[0]
+    for _ in range(40):
+        prtcls.step_sync(opts, th, rv, rhod)
+        prtcls.step_async(opts)
+    assert abs(rv[0] - rv_evap_start - condensed) < 1e-9
+
+
+def test_substepping_improves_th_error():
+    # more cond substeps -> smaller theta discretization error
+    # (reference lgrngn_cond.py:167-170: th_diff shrinks ~1/sstp)
+    errs = {}
+    for sstp in (1, 10):
+        oi = make_opts_init(sstp_cond=sstp)
+        opts = make_opts()
+        rhod = np.array([1.0]); th = np.array([300.0]); rv = np.array([0.02])
+        prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+        prtcls.init(th, rv, rhod)
+        th_init = th.copy()
+        for _ in range(40):
+            prtcls.step_sync(opts, th, rv, rhod)
+            prtcls.step_async(opts)
+        rv[0] = 0.002
+        for _ in range(40):
+            prtcls.step_sync(opts, th, rv, rhod)
+            prtcls.step_async(opts)
+        errs[sstp] = abs(th[0] - th_init[0])
+    assert errs[1] < 4.2e-2   # reference gate th_diff_1
+    assert errs[10] < 4.2e-3  # reference gate th_diff_10
+
+
+def test_api_state_machine_and_diags():
+    # reference api_lgrngn.py:120-152
+    oi = make_opts_init()
+    opts = make_opts()
+    rhod = np.array([1.0]); th = np.array([300.0]); rv = np.array([0.01])
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    prtcls.init(th, rv, rhod)
+    with pytest.raises(Exception):
+        prtcls.init(th, rv, rhod)  # multiple init call
+    prtcls.step_sync(opts, th, rv, rhod)
+    with pytest.raises(Exception):
+        prtcls.step_sync(opts, th, rv, rhod)  # sync/async order mismatch
+    prtcls.step_async(opts)
+    prtcls.step_sync(opts, th, rv)
+    prtcls.diag_dry_rng(0.0, 1.0)
+    prtcls.diag_wet_rng(0.0, 1.0)
+    prtcls.diag_kappa_rng(0.0, 2.0)
+    prtcls.diag_kappa_rng_cons(0.5, 1.5)
+    prtcls.diag_dry_mom(1)
+    prtcls.diag_wet_mom(1)
+    prtcls.diag_kappa_mom(1)
+    puddle = prtcls.diag_puddle()
+    assert set(puddle) == {
+        "liq_vol", "dry_vol", "liq_num", "prtcl_num", "ice_mass", "ice_num",
+        "chem_S_VI", "chem_NH4", "chem_NO3",
+    }
+    prtcls.diag_all()
+    prtcls.diag_sd_conc()
+    assert prtcls.outbuf()[0] == oi.sd_conc  # parcel set-up, exact
+
+
+def test_sync_in_step_cond_explicit():
+    # reference api_lgrngn.py:255-270
+    oi = make_opts_init()
+    opts = make_opts()
+    rhod = np.array([1.0]); th = np.array([300.0]); rv = np.array([0.01])
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    prtcls.init(th, rv, rhod)
+    with pytest.raises(Exception):
+        prtcls.step_cond(opts, th, rv)  # sync_in/cond order mismatch
+    prtcls.sync_in(th, rv, rhod)
+    prtcls.step_cond(opts, th, rv)
+    prtcls.step_async(opts)
+    prtcls.step_sync(opts, th, rv)
+
+
+def test_dry_sizes_exact_multiplicities():
+    # mirrors reference api_lgrngn.py:276-321: two kappas, four sizes,
+    # exact SD counts and multiplicities
+    kappa1, kappa2 = 0.61, 1.28
+    oi = lgrngn.opts_init_t()
+    oi.dry_distros = {}
+    oi.dry_sizes = {
+        (kappa1, 0.0): {1e-6: (30.0 * c.rho_stp, 15), 15e-6: (10.0 * c.rho_stp, 5)},
+        (kappa2, 0.0): {1.25e-6: (20.0 * c.rho_stp, 10), 12.5e-6: (15.0 * c.rho_stp, 5)},
+    }
+    oi.coal_switch = oi.sedi_switch = False
+    oi.dt = 1
+    oi.n_sd_max = 64
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    rhod = np.array([1.0]); th = np.array([300.0]); rv = np.array([0.01])
+    prtcls.init(th, rv, rhod)
+
+    prtcls.diag_all()
+    prtcls.diag_sd_conc()
+    assert prtcls.outbuf()[0] == 35  # 15+5+10+5
+
+    prtcls.diag_all()
+    prtcls.diag_wet_mom(0)
+    assert prtcls.outbuf()[0] == pytest.approx(75.0)  # 30+10+20+15
+
+    # kappa-filtered counts (wet_mom(0) of a dry-range selection)
+    for rng, expect_n, expect_k in (
+        ((0.9e-6, 1.1e-6), 30.0, kappa1),
+        ((1.2e-6, 1.3e-6), 20.0, kappa2),
+        ((12e-6, 13e-6), 15.0, kappa2),
+        ((14.9e-6, 15.1e-6), 10.0, kappa1),
+    ):
+        prtcls.diag_dry_rng(*rng)
+        prtcls.diag_wet_mom(0)
+        n = prtcls.outbuf()[0]
+        prtcls.diag_kappa_mom(1)
+        k = prtcls.outbuf()[0]
+        assert n == pytest.approx(expect_n)
+        assert k == pytest.approx(n * expect_k)
+
+
+def test_wet_equilibrium_init():
+    # initial wet radii at RH<1 must satisfy r_wet > r_dry and be at
+    # kappa-Koehler equilibrium (init_wet.ipp:18-77)
+    oi = make_opts_init()
+    rhod = np.array([1.0]); th = np.array([300.0]); rv = np.array([0.005])
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    prtcls.init(th, rv, rhod)
+    rd3 = prtcls.get_attr("rd3")
+    rw2 = prtcls.get_attr("rw2")
+    n = prtcls.get_attr("n")
+    alive = n > 0
+    assert np.all(rw2[alive] ** 1.5 >= rd3[alive] * 0.999)
+    # multiplicity total consistent with the lognormal: ~6e7/kg / rho_stp
+    prtcls.diag_all()
+    prtcls.diag_dry_mom(0)
+    assert prtcls.outbuf()[0] == pytest.approx(60e6 / c.rho_stp, rel=0.01)
