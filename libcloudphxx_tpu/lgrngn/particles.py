@@ -18,8 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import condensation, hskpng, init as init_mod
-from .enums import backend_t
+import math
+
+from . import coalescence, condensation, hskpng, init as init_mod
+from . import vterm as vterm_mod
+from .enums import backend_t, kernel_t
 from .opts import opts_init_t, opts_t
 from .state import PUDDLE_KEYS, State, StaticConfig, empty_state
 
@@ -46,6 +49,33 @@ def _step_cond_jit(cfg: StaticConfig, state: State, dt, RH_max):
 @partial(jax.jit, static_argnums=0)
 def _tpr_jit(cfg: StaticConfig, state: State):
     return hskpng.hskpng_Tpr(cfg, state)
+
+
+@partial(jax.jit, static_argnums=(0, 1))
+def _step_async_jit(cfg: StaticConfig, sstp_coal: int, state: State,
+                    params, dt):
+    state = hskpng.hskpng_Tpr(cfg, state)
+    state = coalescence.coal(cfg, state, params, dt, sstp_coal)
+    return state
+
+
+@partial(jax.jit, static_argnums=0)
+def _mass_dens_jit(cfg: StaticConfig, state: State, n_filtered, rad, sig0):
+    """Kernel-density mass estimate at radius ``rad``
+    (reference particles_impl_mass_dens.ipp:8-113); xp = 1/2 for wet."""
+    live = (state.n > 0).astype(state.rw2.dtype)
+    count = jax.ops.segment_sum(live, state.ijk, num_segments=cfg.n_cell)
+    sig = sig0 / jnp.maximum(count, 1.0) ** 0.2
+    sig_sd = sig[state.ijk]
+    x = jnp.maximum(state.rw2, 1e-300)
+    vals = (
+        n_filtered / sig_sd * x ** 1.5
+        * jnp.exp(-((0.5 * jnp.log(x) - jnp.log(rad)) / sig_sd) ** 2 / 2.0)
+    )
+    mom = jax.ops.segment_sum(vals, state.ijk, num_segments=cfg.n_cell)
+    from ..common import constants as c
+    prefactor = 4.0 / 3.0 * c.rho_w * jnp.sqrt(c.pi / 2.0)
+    return prefactor * mom / state.dv
 
 
 @partial(jax.jit, static_argnums=(0, 2))
@@ -178,14 +208,36 @@ class particles_t:
 
     def step_async(self, opts: opts_t):
         """Transport phase (reference particles_step.ipp:339-494).
-        Coalescence/advection/sedimentation arrive in later milestones; the
-        call-order bookkeeping is already the reference's."""
+        Coalescence runs here; advection/sedimentation arrive with the 2-D
+        milestone.  The call-order bookkeeping is the reference's."""
         if not self._should_now_run_async:
             raise RuntimeError(
                 "libcloudphxx: please call step_sync() before calling "
                 "step_async() again"
             )
         self._should_now_run_async = False
+
+        dt = float(opts.dt) if opts.dt > 0 else self.cfg.dt
+        if opts.dt > 0 and not self.opts_init.variable_dt_switch:
+            raise RuntimeError(
+                "libcloudphxx: opts.dt specified, but "
+                "opts_init.variable_dt_switch is false"
+            )
+        if opts.coal and self.cfg.coal_switch:
+            if self.cfg.kernel == kernel_t.undefined.value:
+                raise RuntimeError(
+                    "libcloudphxx: opts.coal == True requires opts_init.kernel"
+                )
+            # substep count follows a variable dt (adjust_timesteps.ipp:14-24)
+            sstp = self.opts_init.sstp_coal
+            if opts.dt > 0 and sstp > 1:
+                sstp = math.ceil(sstp * dt / self.cfg.dt)
+            params = jnp.asarray(
+                np.asarray(self.opts_init.kernel_parameters, dtype=np.float64)
+            )
+            self.state = _step_async_jit(
+                self.cfg, int(sstp), self.state, params, dt
+            )
 
     # ----------------------------------------------------------- diagnostics
     def _require_init(self):
@@ -282,6 +334,14 @@ class particles_t:
         self._check_selected()
         self._set_outbuf(_moms_calc_jit(
             self.cfg, self.state, float(n), self._n_filtered, self.state.kpa
+        ))
+
+    def diag_wet_mass_dens(self, rad, sig0):
+        """Mass-density KDE at wet radius ``rad``
+        (reference particles_diag.ipp:494-499 + mass_dens.ipp)."""
+        self._check_selected()
+        self._set_outbuf(_mass_dens_jit(
+            self.cfg, self.state, self._n_filtered, float(rad), float(sig0)
         ))
 
     def diag_puddle(self):

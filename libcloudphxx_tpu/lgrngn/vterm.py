@@ -1,0 +1,41 @@
+"""Terminal-velocity housekeeping for the SD population.
+
+TPU-native equivalent of reference src/impl/housekeeping/particles_impl_
+hskpng_vterm.ipp.  The reference's beard77fast 10k-bin vt0 cache
+(get_vt0_bin:17-35) was a serial-CPU/GPU optimisation; on TPU the polynomial
+itself evaluates in a fused VPU pass, so 'fast' and plain beard77 share the
+direct formula (same physics, no quantisation error).
+"""
+
+import jax.numpy as jnp
+
+from ..common import vterm as cv
+from .enums import vt_t
+from .state import StaticConfig
+
+
+def vt_of(cfg: StaticConfig, rw2, T, p, rhod, eta):
+    """Population terminal velocity by the selected formula
+    (reference hskpng_vterm.ipp:37-100)."""
+    rw = jnp.sqrt(jnp.maximum(rw2, 1e-300))
+    formula = vt_t(cfg.terminal_velocity)
+    if formula == vt_t.beard76:
+        v = cv.vt_beard76(rw, T, p, rhod, eta)
+    elif formula in (vt_t.beard77, vt_t.beard77fast):
+        v = cv.vt_beard77_fact(rw, p, rhod, eta) * cv.vt_beard77_v0(rw)
+    elif formula == vt_t.khvorostyanov_spherical:
+        v = cv.vt_khvorostyanov(rw, T, rhod, eta, spherical=True)
+    elif formula == vt_t.khvorostyanov_nonspherical:
+        v = cv.vt_khvorostyanov(rw, T, rhod, eta, spherical=False)
+    else:
+        v = jnp.zeros_like(rw)
+    return jnp.where(rw2 > 0, v, 0.0)
+
+
+def hskpng_vterm_all(cfg: StaticConfig, state):
+    """Recompute vt of every SD (reference hskpng_vterm_all)."""
+    import dataclasses
+    g = lambda arr: arr[state.ijk]
+    vt = vt_of(cfg, state.rw2, g(state.T), g(state.p), g(state.rhod),
+               g(state.eta))
+    return dataclasses.replace(state, vt=vt)

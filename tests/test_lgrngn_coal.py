@@ -1,0 +1,136 @@
+"""Box coalescence vs the analytic Golovin solution.
+
+Oracle mirrors reference tests/python/physics/coalescence_golovin.py
+(Scott 1967 eq. 2.7, RMSD gate over 150 log-spaced mass-density bins)
+plus mass-conservation invariants.
+"""
+
+from math import pi
+
+import numpy as np
+import pytest
+from scipy import special
+
+from libcloudphxx_tpu import lgrngn
+
+SIM_TIME = 800.0
+R_ZERO = 30.084e-6
+N_ZERO = 2.0**23
+B_GOLOVIN = 1500.0
+
+
+def spherevol(r):
+    return 4.0 / 3.0 * r**3 * np.pi
+
+
+V_ZERO = spherevol(R_ZERO)
+
+
+def expvolumelnr(lnr):
+    r = np.exp(lnr)
+    return (
+        N_ZERO * 3.0 * r**3 / R_ZERO**3 * np.exp(-((r / R_ZERO) ** 3))
+    )
+
+
+def golovin_analytic(v, t, n0, v0, b):
+    # Scott 1967 eq. 2.7
+    x = v / v0
+    T = b * n0 * v0 * t
+    tau = 1 - np.exp(-T)
+    bessel = special.iv(1, 2 * x * np.sqrt(tau))
+    if np.isinf(bessel):
+        return 0.0
+    res = n0 / v0 * bessel * (1 - tau) * np.exp(-x * (tau + 1)) / x / np.sqrt(tau)
+    return 0.0 if np.isnan(res) else res
+
+
+def rmsd(a1, a2):
+    mask = (a1 > 0) | (a2 > 0)
+    return np.sqrt(np.mean((a1[mask] - a2[mask]) ** 2))
+
+
+BINS = 10.0 ** (-6 + np.arange(150) / 50.0)
+
+
+def run_box(sd_conc=None, const_multi=None, sstp_coal=None):
+    oi = lgrngn.opts_init_t()
+    oi.dt = SIM_TIME
+    oi.sstp_coal = int(sstp_coal if sstp_coal else SIM_TIME)
+    oi.sedi_switch = False
+    oi.dry_distros = {(1e-10, 0.0): expvolumelnr}
+    oi.kernel = lgrngn.kernel_t.golovin
+    oi.terminal_velocity = lgrngn.vt_t.beard77
+    oi.kernel_parameters = [B_GOLOVIN]
+    if sd_conc:
+        oi.sd_conc = sd_conc
+        oi.n_sd_max = sd_conc
+    else:
+        oi.sd_const_multi = const_multi
+        oi.n_sd_max = int(N_ZERO / const_multi + 10)
+
+    opts = lgrngn.opts_t()
+    opts.adve = opts.sedi = opts.cond = opts.chem_dsl = False
+    opts.coal = True
+
+    rhod = np.ones(1)
+    th = 300.0 * np.ones(1)
+    rv = 0.01 * np.ones(1)
+
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    prtcls.init(th, rv, rhod)
+
+    prtcls.diag_all()
+    prtcls.diag_wet_mom(0)
+    n_init = prtcls.outbuf()[0]
+    prtcls.diag_all()
+    prtcls.diag_wet_mom(3)
+    mom3_init = prtcls.outbuf()[0]
+
+    prtcls.step_sync(opts, th, rv, rhod)
+    prtcls.step_async(opts)
+
+    prtcls.diag_all()
+    prtcls.diag_wet_mom(3)
+    mom3_final = prtcls.outbuf()[0]
+    prtcls.diag_all()
+    prtcls.diag_wet_mom(0)
+    n_final = prtcls.outbuf()[0]
+
+    results = np.zeros(BINS.size - 1)
+    for i in range(results.size):
+        prtcls.diag_all()
+        prtcls.diag_wet_mass_dens((BINS[i] + BINS[i + 1]) / 2.0, 0.62)
+        results[i] = prtcls.outbuf().mean()
+
+    golovin_results = np.zeros(BINS.size - 1)
+    for i in range(results.size):
+        vol = spherevol((BINS[i] + BINS[i + 1]) / 2.0)
+        golovin_results[i] = (
+            golovin_analytic(vol, SIM_TIME, n_init, V_ZERO, B_GOLOVIN)
+            * vol * vol * 3000.0
+        )
+    return results, golovin_results, (n_init, n_final, mom3_init, mom3_final)
+
+
+@pytest.mark.slow
+def test_golovin_sd_conc():
+    results, analytic, (n0, n1, m0, m1) = run_box(sd_conc=2**14)
+    # water mass (3rd wet moment) is conserved by coalescence
+    assert m1 == pytest.approx(m0, rel=1e-10)
+    # droplet number decreases
+    assert n1 < n0
+    # distribution matches the analytic Golovin solution
+    # (reference gate: RMSD < 1.2e-5, coalescence_golovin.py:141)
+    err = rmsd(results, analytic)
+    assert err < 1.2e-5, err
+
+
+@pytest.mark.slow
+def test_golovin_const_multi():
+    results, analytic, (n0, n1, m0, m1) = run_box(const_multi=1000)
+    assert m1 == pytest.approx(m0, rel=1e-10)
+    assert n1 < n0
+    # reference gate: RMSD < 3e-5 (coalescence_golovin.py:144)
+    err = rmsd(results, analytic)
+    assert err < 3e-5, err
