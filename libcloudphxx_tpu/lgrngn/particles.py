@@ -21,6 +21,7 @@ import numpy as np
 import math
 
 from . import coalescence, condensation, hskpng, init as init_mod
+from . import transport
 from . import vterm as vterm_mod
 from .enums import backend_t, kernel_t
 from .opts import opts_init_t, opts_t
@@ -51,11 +52,25 @@ def _tpr_jit(cfg: StaticConfig, state: State):
     return hskpng.hskpng_Tpr(cfg, state)
 
 
-@partial(jax.jit, static_argnums=(0, 1))
-def _step_async_jit(cfg: StaticConfig, sstp_coal: int, state: State,
-                    params, dt):
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _step_async_jit(cfg: StaticConfig, sstp_coal: int, switches: tuple,
+                    state: State, params, w_LS, dt):
+    """The transport phase pipeline (reference particles_step.ipp:339-494):
+    Tpr -> vterm -> coalescence substeps -> advection -> sedimentation ->
+    subsidence -> boundary conditions/puddle -> re-binning."""
+    do_coal, do_adve, do_sedi, do_subs = switches
     state = hskpng.hskpng_Tpr(cfg, state)
-    state = coalescence.coal(cfg, state, params, dt, sstp_coal)
+    state = vterm_mod.hskpng_vterm_all(cfg, state)
+    if do_coal:
+        state = coalescence.coal(cfg, state, params, dt, sstp_coal)
+    if do_adve:
+        state = transport.adve(cfg, state)
+    if do_sedi:
+        state = transport.sedi(state, dt)
+    if do_subs:
+        state = transport.subs(cfg, state, w_LS, dt)
+    state = transport.bcnd(cfg, state)
+    state = transport.post_step(cfg, state)
     return state
 
 
@@ -110,10 +125,36 @@ class particles_t:
         self._n_filtered = None
         self._outbuf = np.zeros(self.cfg.n_cell)
 
+    def _courant_updates(self, courant_x, courant_y, courant_z):
+        """Validate + flatten Arakawa-C staggered courant fields."""
+        cfg = self.cfg
+        updates = {}
+        sizes = {
+            "courant_x": (cfg.nx + 1) * cfg.ny * cfg.nz,
+            "courant_y": cfg.nx * (cfg.ny + 1) * cfg.nz,
+            "courant_z": cfg.nx * cfg.ny * (cfg.nz + 1),
+        }
+        for name, arr in (("courant_x", courant_x), ("courant_y", courant_y),
+                          ("courant_z", courant_z)):
+            if arr is None:
+                continue
+            a = np.asarray(arr, dtype=np.float64).reshape(-1)
+            if a.size != sizes[name]:
+                raise ValueError(
+                    f"lgrngn: {name} has {a.size} elements, "
+                    f"expected {sizes[name]}"
+                )
+            updates[name] = jnp.asarray(a)
+        return updates
+
     # ------------------------------------------------------------------ init
     def init(self, th, rv, rhod, p=None, courant_x=None, courant_y=None,
-             courant_z=None, ambient_chem=None):
-        """(reference src/particles_init.ipp:16-131)"""
+             courant_z=None, ambient_chem=None, Cx=None, Cy=None, Cz=None):
+        """(reference src/particles_init.ipp:16-131).  ``Cx``/``Cy``/``Cz``
+        are binding-style aliases for the courant fields."""
+        courant_x = courant_x if courant_x is not None else Cx
+        courant_y = courant_y if courant_y is not None else Cy
+        courant_z = courant_z if courant_z is not None else Cz
         if self._init_called:
             raise RuntimeError("libcloudphxx: init() may be called just once")
         self._init_called = True
@@ -139,6 +180,9 @@ class particles_t:
         if self.cfg.n_dims > 0:
             dv = np.full(n_cell, self.cfg.dx * self.cfg.dy * self.cfg.dz)
             st = dataclasses.replace(st, dv=jnp.asarray(dv))
+        cupd = self._courant_updates(courant_x, courant_y, courant_z)
+        if cupd:
+            st = dataclasses.replace(st, **cupd)
 
         st = hskpng.hskpng_Tpr(self.cfg, st)
 
@@ -175,6 +219,7 @@ class particles_t:
             a = _as_flat(arr, n_cell, name)
             if a is not None:
                 updates[name] = jnp.asarray(a)
+        updates.update(self._courant_updates(courant_x, courant_y, courant_z))
         if updates:
             self.state = dataclasses.replace(self.state, **updates)
         self._should_now_run_cond = True
@@ -223,20 +268,35 @@ class particles_t:
                 "libcloudphxx: opts.dt specified, but "
                 "opts_init.variable_dt_switch is false"
             )
-        if opts.coal and self.cfg.coal_switch:
-            if self.cfg.kernel == kernel_t.undefined.value:
-                raise RuntimeError(
-                    "libcloudphxx: opts.coal == True requires opts_init.kernel"
-                )
-            # substep count follows a variable dt (adjust_timesteps.ipp:14-24)
-            sstp = self.opts_init.sstp_coal
-            if opts.dt > 0 and sstp > 1:
-                sstp = math.ceil(sstp * dt / self.cfg.dt)
-            params = jnp.asarray(
-                np.asarray(self.opts_init.kernel_parameters, dtype=np.float64)
+        do_coal = bool(opts.coal and self.cfg.coal_switch)
+        if do_coal and self.cfg.kernel == kernel_t.undefined.value:
+            raise RuntimeError(
+                "libcloudphxx: opts.coal == True requires opts_init.kernel"
             )
+        do_adve = bool(opts.adve and self.cfg.n_dims > 0)
+        do_sedi = bool(opts.sedi and self.cfg.sedi_switch
+                       and self.cfg.n_dims > 0)
+        do_subs = bool(opts.subs and self.cfg.n_dims > 0)
+        if do_sedi and self.cfg.terminal_velocity == 0:
+            raise RuntimeError(
+                "libcloudphxx: opts.sedi requires opts_init.terminal_velocity"
+            )
+
+        # substep count follows a variable dt (adjust_timesteps.ipp:14-24)
+        sstp = self.opts_init.sstp_coal
+        if opts.dt > 0 and sstp > 1:
+            sstp = math.ceil(sstp * dt / self.cfg.dt)
+        params = jnp.asarray(
+            np.asarray(self.opts_init.kernel_parameters, dtype=np.float64)
+        )
+        w_LS = jnp.asarray(
+            np.asarray(self.opts_init.w_LS, dtype=np.float64)
+            if len(self.opts_init.w_LS) else np.zeros(max(1, self.cfg.nz))
+        )
+        if do_coal or do_adve or do_sedi or do_subs:
             self.state = _step_async_jit(
-                self.cfg, int(sstp), self.state, params, dt
+                self.cfg, int(sstp), (do_coal, do_adve, do_sedi, do_subs),
+                self.state, params, w_LS, dt,
             )
 
     # ----------------------------------------------------------- diagnostics

@@ -159,18 +159,18 @@ def empty_state(cfg: StaticConfig, dtype=jnp.float64) -> State:
     n_cell = cfg.n_cell
     zsd = jnp.zeros((n_sd,), dtype)
     zc = jnp.zeros((n_cell,), dtype)
-    if cfg.n_dims >= 1:
-        ncx = (cfg.nx + 1) * cfg.ny * cfg.nz
-    else:
-        ncx = 0
+    # staggered courant fields allocated for each present dimension
+    ncx = (cfg.nx + 1) * cfg.ny * cfg.nz if cfg.n_dims >= 1 else 0
+    ncy = cfg.nx * (cfg.ny + 1) * cfg.nz if cfg.n_dims == 3 else 0
+    ncz = cfg.nx * cfg.ny * (cfg.nz + 1) if cfg.n_dims >= 2 else 0
     return State(
         n=zsd, rd3=zsd, rw2=zsd, kpa=zsd,
         x=zsd, y=zsd, z=zsd, vt=zsd,
         ijk=jnp.zeros((n_sd,), jnp.int32),
         th=zc, rv=zc, rhod=zc, p=zc,
         courant_x=jnp.zeros((ncx,), dtype),
-        courant_y=jnp.zeros((0,), dtype),
-        courant_z=jnp.zeros((0,), dtype),
+        courant_y=jnp.zeros((ncy,), dtype),
+        courant_z=jnp.zeros((ncz,), dtype),
         T=zc, RH=zc, eta=zc, dv=jnp.ones((n_cell,), dtype),
         sstp_tmp_th=zc, sstp_tmp_rv=zc, sstp_tmp_rh=zc,
         key=jax.random.PRNGKey(44),

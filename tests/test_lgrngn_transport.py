@@ -1,0 +1,167 @@
+"""SD transport tests: advection, sedimentation, subsidence, walls, puddle.
+
+Oracles mirror reference tests/python/unit/lgrngn_adve.py (exact one-cell
+shifts under uniform courant fields), lgrngn_subsidence.py, and
+tests/python/physics/puddle.py (precipitation bookkeeping closure).
+"""
+
+from math import exp, log, pi, sqrt
+
+import numpy as np
+import pytest
+
+from libcloudphxx_tpu import lgrngn
+
+
+def lognormal(lnr):
+    mean_r, stdev, n_tot = 0.04e-6 / 2, 1.4, 60e6
+    return (
+        n_tot * exp(-((lnr - log(mean_r)) ** 2) / 2 / log(stdev) ** 2)
+        / log(stdev) / sqrt(2 * pi)
+    )
+
+
+NX, NZ = 6, 5
+
+
+def make_opts_init(**kw):
+    oi = lgrngn.opts_init_t()
+    oi.dry_distros = {(0.61, 0.0): lognormal}
+    oi.coal_switch = False
+    oi.sedi_switch = False
+    oi.dt = 1
+    oi.nx, oi.nz = NX, NZ
+    oi.dx = oi.dz = 1.0
+    oi.x1, oi.z1 = float(NX), float(NZ)
+    oi.sd_conc = 10
+    oi.n_sd_max = 10 * NX * NZ
+    for k, v in kw.items():
+        setattr(oi, k, v)
+    return oi
+
+
+def make_opts(**kw):
+    opts = lgrngn.opts_t()
+    opts.adve = True
+    opts.sedi = opts.cond = opts.coal = opts.chem_dsl = False
+    for k, v in kw.items():
+        setattr(opts, k, v)
+    return opts
+
+
+def grid_fields():
+    rhod = 1.0 * np.ones((NX, NZ))
+    th = 300.0 * np.ones((NX, NZ))
+    rv = 0.01 * np.ones((NX, NZ))
+    return rhod, th, rv
+
+
+def advection_1step(Cx_val, Cz_val, scheme=lgrngn.as_t.implicit):
+    oi = make_opts_init(adve_scheme=scheme)
+    opts = make_opts()
+    rhod, th, rv = grid_fields()
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    Cx = Cx_val * np.ones((NX + 1, NZ))
+    Cz = Cz_val * np.ones((NX, NZ + 1))
+    prtcls.init(th, rv, rhod, Cx=Cx, Cz=Cz)
+
+    prtcls.step_sync(opts, th, rv, rhod)
+    prtcls.diag_all()
+    prtcls.diag_sd_conc()
+    tab_in = prtcls.outbuf().reshape(NX, NZ).copy()
+    prtcls.step_async(opts)
+    prtcls.step_sync(opts, th, rv, rhod)
+    prtcls.diag_all()
+    prtcls.diag_sd_conc()
+    tab_out = prtcls.outbuf().reshape(NX, NZ).copy()
+    return tab_in, tab_out
+
+
+@pytest.mark.parametrize("scheme", [lgrngn.as_t.implicit, lgrngn.as_t.euler,
+                                    lgrngn.as_t.pred_corr])
+@pytest.mark.parametrize("Cx,roll_st", [(1.0, -1), (-1.0, 1)])
+def test_advection_x_shift(Cx, roll_st, scheme):
+    # reference lgrngn_adve.py:100-120: C=1 moves every SD exactly one cell,
+    # periodic in x
+    tab_in, tab_out = advection_1step(Cx, 0.0, scheme)
+    assert tab_in.sum() == NX * NZ * 10
+    assert (tab_in == np.roll(tab_out, roll_st, 0)).all()
+
+
+def test_advection_conserves_sd_count():
+    tab_in, tab_out = advection_1step(0.37, 0.0)
+    assert tab_in.sum() == tab_out.sum()
+
+
+def test_sedimentation_puddle_closure():
+    # all droplets fall out of a shallow domain; the puddle must hold the
+    # exact totals (reference puddle.py semantics)
+    oi = make_opts_init(sedi_switch=True,
+                        terminal_velocity=lgrngn.vt_t.beard77fast)
+    opts = make_opts(adve=False, sedi=True)
+    rhod, th, rv = grid_fields()
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    prtcls.init(th, rv, rhod)
+
+    n0 = prtcls.get_attr("n").copy()
+    rw2_0 = prtcls.get_attr("rw2").copy()
+    rd3_0 = prtcls.get_attr("rd3").copy()
+    tot_num = n0.sum()
+    tot_liq_vol = (4.0 / 3 * np.pi * n0 * rw2_0**1.5).sum()
+    tot_dry_vol = (4.0 / 3 * np.pi * n0 * rd3_0).sum()
+
+    # force every SD below the domain in one step: make vt large by growing
+    # them is fiddly, so instead run many steps
+    for _ in range(10000):
+        prtcls.step_sync(opts, th, rv, rhod)
+        prtcls.step_async(opts)
+        if prtcls.get_attr("n").sum() == 0:
+            break
+
+    puddle = prtcls.diag_puddle()
+    remaining = prtcls.get_attr("n")
+    rw2_r = prtcls.get_attr("rw2")
+    rd3_r = prtcls.get_attr("rd3")
+    # closure: what's in the puddle + what's still airborne == initial totals
+    assert puddle["prtcl_num"] + remaining.sum() == pytest.approx(tot_num)
+    assert puddle["liq_vol"] + (4/3*np.pi*remaining*rw2_r**1.5).sum() == \
+        pytest.approx(tot_liq_vol, rel=1e-12)
+    assert puddle["dry_vol"] + (4/3*np.pi*remaining*rd3_r).sum() == \
+        pytest.approx(tot_dry_vol, rel=1e-12)
+    # at least some droplets must have fallen out after 10000 s
+    assert puddle["prtcl_num"] > 0
+
+
+def test_subsidence_shifts_down():
+    # reference lgrngn_subsidence.py: uniform downward w_LS moves SDs down
+    oi = make_opts_init(subs_switch=True, w_LS=[0.5] * NZ)
+    opts = make_opts(adve=False, subs=True)
+    rhod, th, rv = grid_fields()
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    prtcls.init(th, rv, rhod)
+    z0 = prtcls.get_attr("z").copy()
+    prtcls.step_sync(opts, th, rv, rhod)
+    prtcls.step_async(opts)
+    z1 = prtcls.get_attr("z")
+    alive = prtcls.get_attr("n") > 0
+    assert np.allclose(z1[alive], z0[alive] - 0.5)
+
+
+def test_open_side_walls_remove():
+    oi = make_opts_init(open_side_walls=True)
+    opts = make_opts()
+    rhod, th, rv = grid_fields()
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    Cx = 1.0 * np.ones((NX + 1, NZ))
+    Cz = 0.0 * np.ones((NX, NZ + 1))
+    prtcls.init(th, rv, rhod, Cx=Cx, Cz=Cz)
+    n_before = prtcls.get_attr("n").sum()
+    prtcls.step_sync(opts, th, rv, rhod)
+    prtcls.step_async(opts)
+    n_after = prtcls.get_attr("n").sum()
+    # the rightmost column left the domain and was removed
+    assert n_after < n_before
+    prtcls.diag_all()
+    prtcls.diag_sd_conc()
+    tab = prtcls.outbuf().reshape(NX, NZ)
+    assert (tab[0, :] == 0).all()  # nothing wrapped around
