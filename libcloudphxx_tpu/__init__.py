@@ -8,6 +8,6 @@ foundation, scaled over TPU meshes via jax.sharding.
 
 __version__ = "0.1.0"
 
-from . import blk_1m, blk_2m, common, lgrngn
+from . import blk_1m, blk_2m, common, lgrngn, models, parallel
 
-__all__ = ["blk_1m", "blk_2m", "common", "lgrngn", "__version__"]
+__all__ = ["blk_1m", "blk_2m", "common", "lgrngn", "models", "parallel", "__version__"]

@@ -1,0 +1,267 @@
+"""The 2-D prescribed-flow kinematic cloud model ("icicle").
+
+TPU-native equivalent of reference models/kinematic_2D/: the GMD-2015 /
+8th ICMW case-1 setup (models/kinematic_2D/src/opts_common.hpp:48-66,
+cases/icmw8_case1.hpp:84-219) driving any of the three microphysics schemes.
+The Eulerian advection of th/rv is the from-scratch JAX MPDATA in
+models/mpdata.py; the streamfunction psi = -sin(pi z/Z) cos(2 pi x/X)
+generates an exactly divergence-free G-weighted courant field by discrete
+differencing (icmw8_case1.hpp:174-219).
+"""
+
+import dataclasses
+from functools import partial
+from math import exp, log, pi, sqrt
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import blk_1m as blk_1m_mod
+from .. import blk_2m as blk_2m_mod
+from .. import lgrngn as lgrngn_mod
+from ..common import constants as c
+from ..common import hydrostatic, theta_dry, theta_std
+from . import mpdata
+
+
+@dataclasses.dataclass
+class Setup:
+    """ICMW8 case 1 defaults (reference opts_common.hpp:48-66)."""
+    th_0: float = 289.0        # [K] standard potential temperature
+    rv_0: float = 7.5e-3       # [kg/kg]
+    p_0: float = 101500.0      # [Pa]
+    w_max: float = 0.6         # [m/s]
+    z_0: float = 0.0
+    X: float = 1500.0          # [m]
+    Z: float = 1500.0          # [m]
+    dt: float = 1.0            # [s]
+    mean_rd1: float = 0.02e-6
+    mean_rd2: float = 0.075e-6
+    sdev_rd1: float = 1.4
+    sdev_rd2: float = 1.6
+    n1_stp: float = 60e6
+    n2_stp: float = 40e6
+    kappa: float = 0.61
+    chem_b: float = 0.55
+
+    def lognormal_lnrd(self, lnr):
+        """Bimodal aerosol n(ln rd) @STP (icmw8_case1.hpp:61-78)."""
+        out = 0.0
+        for mean, sdev, n_tot in (
+            (self.mean_rd1, self.sdev_rd1, self.n1_stp),
+            (self.mean_rd2, self.sdev_rd2, self.n2_stp),
+        ):
+            out += (
+                n_tot
+                * exp(-((lnr - log(mean)) ** 2) / (2 * log(sdev) ** 2))
+                / log(sdev) / sqrt(2 * pi)
+            )
+        return out
+
+
+def rhod_profile(setup: Setup, z):
+    """Hydrostatic dry-air density (icmw8_case1.hpp:119-136)."""
+    p = hydrostatic.p(z, setup.th_0, setup.rv_0, setup.z_0, setup.p_0)
+    return theta_std.rhod(p, setup.th_0, setup.rv_0)
+
+
+def make_gc(setup: Setup, nx, nz, dx, dz):
+    """G-weighted courant fields from the discrete streamfunction
+    (icmw8_case1.hpp:174-219); exactly divergence-free by telescoping."""
+    A = setup.w_max * setup.X / (2 * np.pi)
+    psi = lambda xX, zZ: -np.sin(np.pi * zZ) * np.cos(2 * np.pi * xX)
+
+    xe = np.arange(nx + 1) * dx / setup.X       # x of x-faces
+    zc = (np.arange(nz + 1)) * dz / setup.Z     # z of cell corners
+    # GC_x[i, k] through the x face at x_e[i], spanning corners k..k+1
+    gc_x = (
+        -A
+        * (psi(xe[:, None], zc[None, 1:]) - psi(xe[:, None], zc[None, :-1]))
+        / dz * setup.dt / dx
+    )
+    xc = np.arange(nx + 1) * dx / setup.X
+    gc_z = (
+        A
+        * (psi(xc[None, 1:], zc[:, None]) - psi(xc[None, :-1], zc[:, None]))
+        / dx * setup.dt / dz
+    ).T
+    return gc_x, gc_z
+
+
+class Kinematic2D:
+    """End-to-end kinematic cloud model; the acceptance vehicle mirroring
+    reference models/kinematic_2D/src/icicle.cpp + kin_cloud_2d_*.hpp."""
+
+    def __init__(self, nx=76, nz=76, setup: Setup = None, micro="lgrngn",
+                 sd_conc=64, sstp_cond=1, sstp_coal=1, n_sd_max=None,
+                 backend=None, mpdata_iters=2):
+        self.setup = setup or Setup()
+        s = self.setup
+        self.nx, self.nz = nx, nz
+        self.dx = s.X / nx
+        self.dz = s.Z / nz
+        self.micro = micro
+        self.mpdata_iters = mpdata_iters
+
+        z_centers = (np.arange(nz) + 0.5) * self.dz
+        rhod_col = np.asarray(rhod_profile(s, jnp.asarray(z_centers)))
+        self.rhod = np.broadcast_to(rhod_col, (nx, nz)).copy()
+
+        # uniform dry-theta / vapour initial state (icmw8_case1.hpp:166-168)
+        th_d = float(theta_dry.std2dry(s.th_0, s.rv_0))
+        self.th = np.full((nx, nz), th_d)
+        self.rv = np.full((nx, nz), s.rv_0)
+
+        gc_x, gc_z = make_gc(s, nx, nz, self.dx, self.dz)
+        self.gc_x = jnp.asarray(gc_x)
+        self.gc_z = jnp.asarray(gc_z)
+        self.G = jnp.asarray(self.rhod)
+
+        # plain courants for the SDM (kin_cloud_2d_lgrngn.hpp:180-196:
+        # GC divided by rhod at the face)
+        self.C_x = gc_x / rhod_col[None, :]
+        rhod_edge = np.asarray(rhod_profile(s, jnp.asarray(np.arange(nz + 1) * self.dz)))
+        self.C_z = gc_z / rhod_edge[None, :]
+
+        if micro == "lgrngn":
+            oi = lgrngn_mod.opts_init_t()
+            oi.dry_distros = {(s.kappa, 0.0): s.lognormal_lnrd}
+            oi.nx, oi.nz = nx, nz
+            oi.dx, oi.dz = self.dx, self.dz
+            oi.x1, oi.z1 = s.X, s.Z
+            oi.dt = s.dt
+            oi.sd_conc = sd_conc
+            oi.n_sd_max = n_sd_max or 2 * sd_conc * nx * nz
+            oi.sstp_cond = sstp_cond
+            oi.sstp_coal = sstp_coal
+            oi.kernel = lgrngn_mod.kernel_t.geometric
+            oi.terminal_velocity = lgrngn_mod.vt_t.beard77fast
+            self.prtcls = lgrngn_mod.factory(
+                backend or lgrngn_mod.backend_t.tpu, oi
+            )
+            self.prtcls.init(self.th, self.rv, self.rhod,
+                             Cx=self.C_x, Cz=self.C_z)
+            self.opts = lgrngn_mod.opts_t()
+            self.opts.chem_dsl = False
+        elif micro == "blk_1m":
+            self.opts = blk_1m_mod.opts_t()
+            self.rc = np.zeros((nx, nz))
+            self.rr = np.zeros((nx, nz))
+        elif micro == "blk_2m":
+            self.opts = blk_2m_mod.opts_t(dry_distros=(
+                blk_2m_mod.lognormal_mode_t(s.mean_rd1, s.sdev_rd1,
+                                            s.n1_stp, s.chem_b),
+                blk_2m_mod.lognormal_mode_t(s.mean_rd2, s.sdev_rd2,
+                                            s.n2_stp, s.chem_b),
+            ))
+            self.rc = np.zeros((nx, nz))
+            self.nc = np.zeros((nx, nz))
+            self.rr = np.zeros((nx, nz))
+            self.nr = np.zeros((nx, nz))
+        else:
+            raise ValueError(micro)
+
+        self.t = 0.0
+        self.puddle_flux = 0.0
+
+    # ------------------------------------------------------------- stepping
+    def _advect(self, *fields):
+        out = []
+        for f in fields:
+            # np.array (copy): jax device buffers view as read-only, but the
+            # SDM sync-out writes back into these host arrays in place
+            out.append(np.array(mpdata.advect(
+                jnp.asarray(f), self.gc_x, self.gc_z, self.G,
+                n_iters=self.mpdata_iters,
+            )))
+        return out
+
+    def step(self, spinup=False):
+        """One model step: MPDATA advection of the scalar fields, then the
+        microphysics hook (reference icicle.cpp:77 + hook_post_step)."""
+        s = self.setup
+        if self.micro == "lgrngn":
+            self.th, self.rv = self._advect(self.th, self.rv)
+            opts = self.opts
+            opts.sedi = opts.coal = not spinup
+            self.prtcls.step_sync(opts, self.th, self.rv, self.rhod)
+            self.prtcls.step_async(opts)
+        elif self.micro == "blk_1m":
+            self.th, self.rv, self.rc, self.rr = self._advect(
+                self.th, self.rv, self.rc, self.rr
+            )
+            o = self.opts
+            if spinup:
+                o = dataclasses.replace(o, conv=False, accr=False, sedi=False)
+            th, rv, rc, rr = (jnp.asarray(a) for a in
+                              (self.th, self.rv, self.rc, self.rr))
+            rhod = jnp.asarray(self.rhod)
+            pz = jnp.zeros_like(th)
+            th, rv, rc, rr = blk_1m_mod.adj_cellwise(
+                o, rhod, pz, th, rv, rc, rr, s.dt
+            )
+            zero = jnp.zeros_like(th)
+            if o.adj_nwtrph:
+                dth, drv, drc, drr = blk_1m_mod.rhs_cellwise_revap(
+                    o, zero, zero, zero, zero,
+                    rhod, pz, th, rv, rc, rr, s.dt,
+                )
+            else:
+                dth, drv = zero, zero
+                drc, drr = blk_1m_mod.rhs_cellwise(o, zero, zero, rc, rr)
+            drr, flux = blk_1m_mod.rhs_columnwise(o, drr, rhod, rr, self.dz)
+            self.puddle_flux += float(jnp.sum(flux)) * s.dt
+            self.th = np.asarray(th + s.dt * dth)
+            self.rv = np.asarray(rv + s.dt * drv)
+            self.rc = np.asarray(jnp.maximum(rc + s.dt * drc, 0.0))
+            self.rr = np.asarray(jnp.maximum(rr + s.dt * drr, 0.0))
+        elif self.micro == "blk_2m":
+            self.th, self.rv, self.rc, self.nc, self.rr, self.nr = \
+                self._advect(self.th, self.rv, self.rc, self.nc,
+                             self.rr, self.nr)
+            o = self.opts
+            if spinup:
+                o = dataclasses.replace(o, acnv=False, accr=False, sedi=False)
+            th, rv, rc, nc, rr, nr = (jnp.asarray(a) for a in (
+                self.th, self.rv, self.rc, self.nc, self.rr, self.nr))
+            rhod = jnp.asarray(self.rhod)
+            zero = jnp.zeros_like(th)
+            dth, drv, drc, dnc, drr, dnr = blk_2m_mod.rhs_cellwise(
+                o, zero, zero, zero, zero, zero, zero,
+                rhod, th, rv, rc, nc, rr, nr, s.dt,
+            )
+            drr, dnr, flux = blk_2m_mod.rhs_columnwise(
+                o, drr, dnr, rhod, rr, nr, s.dt, self.dz
+            )
+            self.puddle_flux += float(jnp.sum(flux)) * s.dt
+            self.th = np.asarray(th + s.dt * dth)
+            self.rv = np.asarray(rv + s.dt * drv)
+            self.rc = np.asarray(jnp.maximum(rc + s.dt * drc, 0.0))
+            self.nc = np.asarray(jnp.maximum(nc + s.dt * dnc, 0.0))
+            self.rr = np.asarray(jnp.maximum(rr + s.dt * drr, 0.0))
+            self.nr = np.asarray(jnp.maximum(nr + s.dt * dnr, 0.0))
+        self.t += s.dt
+
+    def run(self, nt, spinup=0):
+        for i in range(nt):
+            self.step(spinup=i < spinup)
+
+    # ---------------------------------------------------------- diagnostics
+    def diag_lgrngn(self, what="rc"):
+        """Cloud-water mixing ratio (wet mom3 of r in the cloud range) or
+        similar, mirroring kin_cloud_2d_lgrngn.hpp:33-95 recording."""
+        p = self.prtcls
+        if what == "rc":
+            p.diag_wet_rng(0.5e-6, 25e-6)
+        elif what == "rr":
+            p.diag_wet_rng(25e-6, 1.0)
+        elif what == "sd_conc":
+            p.diag_all()
+            p.diag_sd_conc()
+            return p.outbuf().reshape(self.nx, self.nz)
+        else:
+            raise ValueError(what)
+        p.diag_wet_mom(3)
+        mom3 = p.outbuf().reshape(self.nx, self.nz)
+        return 4.0 / 3 * np.pi * c.rho_w * mom3

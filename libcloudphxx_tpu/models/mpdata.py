@@ -1,0 +1,97 @@
+"""MPDATA advection on a 2-D (x, z) cell-centred grid — TPU-native.
+
+The reference host model uses libmpdata++ (an external C++ library) for the
+Eulerian advection of th/rv (reference models/kinematic_2D/src/icicle.cpp).
+This is a from-scratch JAX implementation of the MPDATA scheme of
+Smolarkiewicz (1984): a donor-cell pass followed by antidiffusive corrective
+iterations, with a density-like G factor, periodic x and rigid (zero-flux) z
+walls.  Everything is shifted-array arithmetic — one fused XLA program per
+step, no halo copies.
+
+Fields: psi (nx, nz) cell-centred; GC_x (nx+1, nz) and GC_z (nx, nz+1) are
+G-weighted Courant numbers on the staggered faces; G (nx, nz).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+EPS = 1e-15
+
+
+def _donor_flux(psi_l, psi_r, gc):
+    """Upwind flux through a face with G-weighted courant gc."""
+    return jnp.maximum(gc, 0.0) * psi_l + jnp.minimum(gc, 0.0) * psi_r
+
+
+def _pad_x(psi):
+    """Periodic halo in x (axis 0)."""
+    return jnp.concatenate([psi[-1:], psi, psi[:1]], axis=0)
+
+
+def _pad_z(psi):
+    """Zero-gradient halo in z (axis 1; walls carry zero flux anyway)."""
+    return jnp.concatenate([psi[:, :1], psi, psi[:, -1:]], axis=1)
+
+
+def _advect_once(psi, gc_x, gc_z, G):
+    """One upwind pass: psi_new = psi - (dF_x + dF_z) / G."""
+    px = _pad_x(psi)
+    # x faces: flux[i] through face between cell i-1 and i (0..nx)
+    fx = _donor_flux(px[:-1], px[1:], gc_x)
+    pz = _pad_z(psi)
+    fz = _donor_flux(pz[:, :-1], pz[:, 1:], gc_z)
+    return psi - ((fx[1:] - fx[:-1]) + (fz[:, 1:] - fz[:, :-1])) / G
+
+
+def _antidiff_gc(psi, gc_x, gc_z, G):
+    """Antidiffusive pseudo-velocities (Smolarkiewicz 1984 eqs. 13-14),
+    for positive-definite psi."""
+    px = _pad_x(psi)
+    pz = _pad_z(psi)
+
+    # --- x faces (nx+1, nz)
+    # A = (psi_r - psi_l) / (psi_r + psi_l)
+    A_x = (px[1:] - px[:-1]) / (px[1:] + px[:-1] + EPS)
+    Gx = 0.5 * (_pad_x(G)[:-1] + _pad_x(G)[1:])
+    # cross-term B: average of psi z-differences around the x face
+    pxz = _pad_z(px)  # (nx+2, nz+2)
+    num = (pxz[1:, 2:] + pxz[:-1, 2:]) - (pxz[1:, :-2] + pxz[:-1, :-2])
+    den = (pxz[1:, 2:] + pxz[:-1, 2:]) + (pxz[1:, :-2] + pxz[:-1, :-2]) + EPS
+    B_x = 0.5 * num / den
+    # gc_z averaged to the x face: mean of the four surrounding z faces
+    gcz_p = jnp.concatenate([gc_z[-1:], gc_z, gc_z[:1]], axis=0)  # periodic x
+    gcz_at_x = 0.25 * (
+        gcz_p[:-1, :-1] + gcz_p[:-1, 1:] + gcz_p[1:, :-1] + gcz_p[1:, 1:]
+    )
+    gc_x2 = jnp.abs(gc_x) * (1.0 - jnp.abs(gc_x) / Gx) * A_x \
+        - gc_x * gcz_at_x / Gx * B_x
+
+    # --- z faces (nx, nz+1)
+    A_z = (pz[:, 1:] - pz[:, :-1]) / (pz[:, 1:] + pz[:, :-1] + EPS)
+    Gz = 0.5 * (_pad_z(G)[:, :-1] + _pad_z(G)[:, 1:])
+    pzx = _pad_x(pz)  # (nx+2, nz+2)
+    num = (pzx[2:, 1:] + pzx[2:, :-1]) - (pzx[:-2, 1:] + pzx[:-2, :-1])
+    den = (pzx[2:, 1:] + pzx[2:, :-1]) + (pzx[:-2, 1:] + pzx[:-2, :-1]) + EPS
+    B_z = 0.5 * num / den
+    gcx_p = jnp.concatenate([gc_x[:, :1], gc_x, gc_x[:, -1:]], axis=1)
+    gcx_at_z = 0.25 * (
+        gcx_p[:-1, :-1] + gcx_p[1:, :-1] + gcx_p[:-1, 1:] + gcx_p[1:, 1:]
+    )
+    gc_z2 = jnp.abs(gc_z) * (1.0 - jnp.abs(gc_z) / Gz) * A_z \
+        - gc_z * gcx_at_z / Gz * B_z
+    # rigid walls: no antidiffusive flux through top/bottom
+    gc_z2 = gc_z2.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    return gc_x2, gc_z2
+
+
+@partial(jax.jit, static_argnames=("n_iters",))
+def advect(psi, gc_x, gc_z, G, n_iters=2):
+    """MPDATA advection of a positive-definite scalar; n_iters=1 is plain
+    upwind, 2 adds one antidiffusive correction (libmpdata++ default)."""
+    psi = _advect_once(psi, gc_x, gc_z, G)
+    for _ in range(n_iters - 1):
+        gc_x, gc_z = _antidiff_gc(psi, gc_x, gc_z, G)
+        psi = _advect_once(psi, gc_x, gc_z, G)
+    return psi
