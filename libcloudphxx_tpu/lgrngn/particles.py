@@ -39,9 +39,30 @@ def _as_flat(arr, n_cell, name):
     return a
 
 
+def _rc2_of(state: State, T_sd):
+    """Critical (activation) radius squared per SD via the Koehler-maximum
+    root solve (reference detail::rw3_cr used in update_incloud_time,
+    diag_rw_ge_rc)."""
+    from ..common import kappa_koehler
+    rw3_cr = kappa_koehler.rw3_cr(
+        jnp.maximum(state.rd3, 1e-300), jnp.maximum(state.kpa, 1e-10), T_sd
+    )
+    return rw3_cr ** (2.0 / 3)
+
+
 @partial(jax.jit, static_argnums=0)
 def _step_cond_jit(cfg: StaticConfig, state: State, dt, RH_max):
     state = hskpng.hskpng_Tpr(cfg, state)
+    if cfg.diag_incloud_time:
+        # (reference particles_impl_update_incloud_time.ipp:38-66)
+        rc2 = _rc2_of(state, state.T[state.ijk])
+        import dataclasses as _dc
+        state = _dc.replace(
+            state,
+            incloud_time=jnp.where(
+                state.rw2 > rc2, state.incloud_time + dt, 0.0
+            ),
+        )
     state = condensation.cond_percell(cfg, state, dt, RH_max)
     state = condensation.sstp_save(state)
     return state
@@ -396,6 +417,80 @@ class particles_t:
             self.cfg, self.state, float(n), self._n_filtered, self.state.kpa
         ))
 
+    def diag_rw_ge_rc(self):
+        """Select activated SDs: rw >= critical radius
+        (reference particles_diag.ipp:384-409)."""
+        self._require_init()
+        st = _tpr_jit(self.cfg, self.state)
+        rc2 = _rc2_of(st, st.T[st.ijk])
+        self._n_filtered = jnp.where(st.rw2 >= rc2, st.n, 0.0)
+
+    def diag_RH_ge_Sc(self):
+        """Select SDs whose ambient RH exceeds their critical supersaturation
+        (reference particles_diag.ipp:353-381)."""
+        from ..common import kappa_koehler
+        self._require_init()
+        st = _tpr_jit(self.cfg, self.state)
+        S_cr = kappa_koehler.S_cr(
+            jnp.maximum(st.rd3, 1e-300), jnp.maximum(st.kpa, 1e-10),
+            st.T[st.ijk],
+        )
+        self._n_filtered = jnp.where(st.RH[st.ijk] >= S_cr, st.n, 0.0)
+
+    def diag_precip_rate(self):
+        """1st non-specific moment of rw^3 * vt of the selected SDs
+        (reference particles_diag.ipp:561-588)."""
+        self._check_selected()
+        st = _tpr_jit(self.cfg, self.state)
+        st = vterm_mod.hskpng_vterm_all(self.cfg, st)
+        vals = st.rw2 ** 1.5 * st.vt
+        mom = jax.ops.segment_sum(
+            self._n_filtered * vals, st.ijk, num_segments=self.cfg.n_cell
+        )
+        self._set_outbuf(mom)
+
+    def diag_max_rw(self):
+        """Largest wet radius per cell (reference particles_diag.ipp:609-643)."""
+        self._require_init()
+        rw = jnp.sqrt(jnp.maximum(self.state.rw2, 0.0))
+        rw = jnp.where(self.state.n > 0, rw, 0.0)
+        mx = jax.ops.segment_max(
+            rw, self.state.ijk, num_segments=self.cfg.n_cell
+        )
+        self._set_outbuf(jnp.maximum(mx, 0.0))
+
+    def diag_vel_div(self):
+        """Flow-field divergence per cell [1/s]
+        (reference particles_diag.ipp:501-556)."""
+        self._require_init()
+        from . import transport
+        cfg = self.cfg
+        ijk = jnp.arange(cfg.n_cell)
+        (lft, rgt), (fre, hnd), (blw, abv) = transport.courant_indices(
+            cfg, ijk
+        )
+        div = jnp.zeros(cfg.n_cell)
+        if cfg.n_dims >= 1:
+            div = div + self.state.courant_x[rgt] - self.state.courant_x[lft]
+        if cfg.n_dims == 3:
+            div = div + self.state.courant_y[hnd] - self.state.courant_y[fre]
+        if cfg.n_dims > 1:
+            div = div + self.state.courant_z[abv] - self.state.courant_z[blw]
+        self._set_outbuf(div / self.cfg.dt)
+
+    def diag_incloud_time_mom(self, n):
+        """(reference particles_diag.ipp:484-492)"""
+        if not self.opts_init.diag_incloud_time:
+            raise RuntimeError(
+                "libcloudphxx: diag_incloud_time_mom called, but "
+                "opts_init.diag_incloud_time == false"
+            )
+        self._check_selected()
+        self._set_outbuf(_moms_calc_jit(
+            self.cfg, self.state, float(n), self._n_filtered,
+            self.state.incloud_time,
+        ))
+
     def diag_wet_mass_dens(self, rad, sig0):
         """Mass-density KDE at wet radius ``rad``
         (reference particles_diag.ipp:494-499 + mass_dens.ipp)."""
@@ -423,6 +518,7 @@ class particles_t:
             "kpa": self.state.kpa, "n": self.state.n,
             "x": self.state.x, "y": self.state.y, "z": self.state.z,
             "vt": self.state.vt,
+            "incloud_time": self.state.incloud_time,
         }
         if name not in mapping:
             raise ValueError(f"lgrngn: unknown attribute {name!r}")

@@ -53,6 +53,8 @@ class StaticConfig:
     turb_cond_switch: bool = field(metadata=dict(static=True))
     open_side_walls: bool = field(metadata=dict(static=True))
     periodic_topbot_walls: bool = field(metadata=dict(static=True))
+    diag_incloud_time: bool = field(metadata=dict(static=True), default=False)
+    rc2_T: float = field(metadata=dict(static=True), default=10.0)
 
     def __hash__(self):
         return hash(tuple(getattr(self, f.name) for f in fields(self)))
@@ -89,6 +91,8 @@ class StaticConfig:
             turb_cond_switch=bool(oi.turb_cond_switch),
             open_side_walls=bool(oi.open_side_walls),
             periodic_topbot_walls=bool(oi.periodic_topbot_walls),
+            diag_incloud_time=bool(oi.diag_incloud_time),
+            rc2_T=float(oi.rc2_T),
         )
 
 
@@ -111,6 +115,7 @@ class State:
     y: jax.Array
     z: jax.Array
     vt: jax.Array      # terminal velocity [m/s]
+    incloud_time: jax.Array   # time spent activated [s] (diag_incloud_time)
     ijk: jax.Array     # linear cell index (i32); dead slots point at cell 0
 
     # --- Eulerian mirrors (particles_impl.ipp:122-146)
@@ -153,8 +158,12 @@ PUDDLE_KEYS = (
 )
 
 
-def empty_state(cfg: StaticConfig, dtype=jnp.float64) -> State:
-    """Allocate an all-dead-slot state for a given static config."""
+def empty_state(cfg: StaticConfig, dtype=None) -> State:
+    """Allocate an all-dead-slot state for a given static config.
+    Default dtype follows the x64 setting: f64 on CPU parity runs, f32 on
+    TPU (the reference's real_t template parameter, particles.hpp:137)."""
+    if dtype is None:
+        dtype = jnp.result_type(float)
     n_sd = cfg.n_sd_max
     n_cell = cfg.n_cell
     zsd = jnp.zeros((n_sd,), dtype)
@@ -165,7 +174,7 @@ def empty_state(cfg: StaticConfig, dtype=jnp.float64) -> State:
     ncz = cfg.nx * cfg.ny * (cfg.nz + 1) if cfg.n_dims >= 2 else 0
     return State(
         n=zsd, rd3=zsd, rw2=zsd, kpa=zsd,
-        x=zsd, y=zsd, z=zsd, vt=zsd,
+        x=zsd, y=zsd, z=zsd, vt=zsd, incloud_time=zsd,
         ijk=jnp.zeros((n_sd,), jnp.int32),
         th=zc, rv=zc, rhod=zc, p=zc,
         courant_x=jnp.zeros((ncx,), dtype),

@@ -220,3 +220,45 @@ def test_wet_equilibrium_init():
     prtcls.diag_all()
     prtcls.diag_dry_mom(0)
     assert prtcls.outbuf()[0] == pytest.approx(60e6 / c.rho_stp, rel=0.01)
+
+
+def test_extended_diags():
+    # diag_rw_ge_rc / diag_RH_ge_Sc / precip rate / max_rw / incloud time
+    oi = make_opts_init(diag_incloud_time=True,
+                        terminal_velocity=lgrngn.vt_t.beard77fast)
+    opts = make_opts()
+    rhod = np.array([1.0]); th = np.array([300.0]); rv = np.array([0.02])
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    prtcls.init(th, rv, rhod)
+    for _ in range(5):
+        prtcls.step_sync(opts, th, rv, rhod)
+        prtcls.step_async(opts)
+    # strongly supersaturated: most droplets activated
+    prtcls.diag_rw_ge_rc()
+    prtcls.diag_wet_mom(0)
+    n_act = prtcls.outbuf()[0]
+    prtcls.diag_all()
+    prtcls.diag_wet_mom(0)
+    n_all = prtcls.outbuf()[0]
+    assert 0 < n_act <= n_all
+    assert n_act > 0.5 * n_all  # most of the population activates here
+    prtcls.diag_RH_ge_Sc()
+    prtcls.diag_wet_mom(0)
+    assert prtcls.outbuf()[0] > 0
+    # activated droplets carry incloud time
+    prtcls.diag_all()
+    prtcls.diag_incloud_time_mom(1)
+    assert prtcls.outbuf()[0] > 0
+    t = prtcls.get_attr("incloud_time")
+    # the update runs before condensation each step (reference
+    # particles_step.ipp:180), so step 1 sees unactivated droplets
+    assert t.max() == pytest.approx(4.0)
+    prtcls.diag_all()
+    prtcls.diag_precip_rate()
+    assert np.isfinite(prtcls.outbuf()).all()
+    prtcls.diag_max_rw()
+    assert prtcls.outbuf()[0] > 1e-6  # grown droplets
+    # diag_incloud_time_mom errors when not enabled
+    oi2 = make_opts_init()
+    p2 = lgrngn.factory(lgrngn.backend_t.serial, oi2)
+    p2.init(np.array([1.]), np.array([300.]), np.array([1.]))
