@@ -29,53 +29,23 @@ N_STEPS = 10
 
 
 def main():
-    import dataclasses
-
-    from libcloudphxx_tpu.lgrngn import coalescence, condensation, hskpng
-    from libcloudphxx_tpu.lgrngn import transport
-    from libcloudphxx_tpu.lgrngn import vterm as vterm_mod
-    from libcloudphxx_tpu.models import Kinematic2D, mpdata
+    from libcloudphxx_tpu.models import Kinematic2D
 
     model = Kinematic2D(
         nx=NX, nz=NZ, micro="lgrngn", sd_conc=SD_CONC,
         sstp_cond=SSTP_COND, sstp_coal=SSTP_COAL,
         n_sd_max=SD_CONC * NX * NZ,
     )
-    cfg = model.prtcls.cfg
-    gc_x, gc_z, G = model.gc_x, model.gc_z, model.G
-    params = jnp.zeros((1,))
     n_sd = int(np.sum(model.prtcls.get_attr("n") > 0))
 
-    @jax.jit
-    def step(state, th, rv):
-        th = mpdata.advect(th, gc_x, gc_z, G)
-        rv = mpdata.advect(rv, gc_x, gc_z, G)
-        state = dataclasses.replace(
-            state, th=th.reshape(-1), rv=rv.reshape(-1)
-        )
-        state = hskpng.hskpng_Tpr(cfg, state)
-        state = condensation.cond_percell(cfg, state, cfg.dt, 44.0)
-        state = condensation.sstp_save(state)
-        state = vterm_mod.hskpng_vterm_all(cfg, state)
-        state = coalescence.coal(cfg, state, params, cfg.dt, SSTP_COAL)
-        state = transport.adve(cfg, state)
-        state = transport.sedi(state, cfg.dt)
-        state = transport.bcnd(cfg, state)
-        state = transport.post_step(cfg, state)
-        return state, state.th.reshape(NX, NZ), state.rv.reshape(NX, NZ)
-
-    state = model.prtcls.state
-    th = jnp.asarray(model.th)
-    rv = jnp.asarray(model.rv)
-
-    # warmup / compile
-    state, th, rv = step(state, th, rv)
-    jax.block_until_ready(th)
+    # warmup / compile: the model runs the per-phase jits (mpdata advection,
+    # condensation, transport) — fusing everything into one XLA program
+    # explodes compile time without a runtime win
+    model.run(2)
 
     t0 = time.perf_counter()
-    for _ in range(N_STEPS):
-        state, th, rv = step(state, th, rv)
-    jax.block_until_ready(th)
+    model.run(N_STEPS)
+    jax.block_until_ready(model.prtcls.state.th)
     elapsed = time.perf_counter() - t0
 
     sd_updates_per_s = n_sd * N_STEPS / elapsed

@@ -110,7 +110,8 @@ def _specific_mom3(cfg: StaticConfig, state: State):
     )
 
 
-def cond_percell(cfg: StaticConfig, state: State, dt, RH_max) -> State:
+def cond_percell(cfg: StaticConfig, state: State, dt, RH_max,
+                 turb_cond: bool = False) -> State:
     """The per-cell substepped condensation phase of step_cond
     (reference particles_step.ipp:237-256).
 
@@ -137,13 +138,20 @@ def cond_percell(cfg: StaticConfig, state: State, dt, RH_max) -> State:
         st = dataclasses.replace(
             st, th=st.th + delta_th / sstp, rv=st.rv + delta_rv / sstp
         )
+        if turb_cond:
+            # SGS supersaturation perturbation accumulates each substep and
+            # adds to the ambient RH seen by each SD
+            # (reference apply_perparticle_sgs_supersat.ipp + cond.ipp:62-86)
+            from . import turbulence as turb_mod
+            st = turb_mod.apply_sgs_supersat(st, dt_sub)
         st = hskpng.hskpng_Tpr(cfg, st)
 
         mom3_before = _specific_mom3(cfg, st)
         g = lambda arr: arr[st.ijk]  # cell -> SD gather
+        RH_sd = g(st.RH) + (st.ssp if turb_cond else 0.0)
         rw2_new = advance_rw2(
             dt_sub, st.rw2, st.rd3, st.kpa, st.vt,
-            g(st.rhod), g(st.rv), g(st.T), g(st.p), g(st.RH), g(st.eta),
+            g(st.rhod), g(st.rv), g(st.T), g(st.p), RH_sd, g(st.eta),
             g(lambda_D), g(lambda_K), RH_max,
         )
         st = dataclasses.replace(st, rw2=rw2_new)

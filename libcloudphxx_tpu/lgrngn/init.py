@@ -30,6 +30,22 @@ RD_MAX_INIT = 1e-3
 CONST_MULTI_THRESHOLD = 1e20
 
 
+def _eval_distro(fun, lnrd):
+    """Evaluate a user distribution over an array of ln(rd).
+
+    Vectorized call first (numpy-aware callables evaluate the whole
+    population at once); scalar-only callables (reference-style
+    unary_function equivalents) fall back to np.vectorize."""
+    lnrd = np.asarray(lnrd, dtype=float)
+    try:
+        out = np.asarray(fun(lnrd), dtype=float)
+        if out.shape == lnrd.shape:
+            return out
+    except Exception:
+        pass
+    return np.vectorize(lambda v: float(fun(v)), otypes=[float])(lnrd)
+
+
 def _dist_analysis_sd_conc(fun, sd_conc, cell_vol, rd_min=-1.0, rd_max=-1.0):
     """Detect the [rd_min, rd_max] support of n(ln rd) and the multiplicity
     coefficient (reference init_dist_analysis.ipp:17-80).
@@ -68,7 +84,7 @@ def _dist_analysis_const_multi(fun):
     """Support detection for const-multi mode: bound where the distribution
     falls below max/threshold (reference init_dist_analysis.ipp:83-122)."""
     lnr = np.linspace(math.log(RD_MIN_INIT), math.log(RD_MAX_INIT), 20001)
-    vals = np.array([float(fun(x)) for x in lnr])
+    vals = _eval_distro(fun, lnr)
     peak = vals.max()
     bound = peak / CONST_MULTI_THRESHOLD
     above = np.nonzero(vals > bound)[0]
@@ -126,9 +142,7 @@ def init_SD(cfg: StaticConfig, oi, state: State, rng: np.random.Generator,
 
             # multiplicity = n(lnrd) * multiplier, STP-corrected by rhod,
             # volume-adjusted (init_n.ipp:80-135)
-            n_of = np.array(
-                [[float(fun(v)) for v in row] for row in lnrd]
-            ) * mult
+            n_of = _eval_distro(fun, lnrd) * mult
             if not oi.aerosol_independent_of_rhod:
                 n_of *= np.asarray(rhod_host)[:, None] / c.rho_stp
             if cfg.n_dims > 0:
@@ -148,7 +162,7 @@ def init_SD(cfg: StaticConfig, oi, state: State, rng: np.random.Generator,
             # expected total number of particles in each cell / multiplicity
             # via trapezoid integral of n(lnrd)
             lnr = np.linspace(log_lo, log_hi, 10001)
-            vals = np.array([float(fun(x)) for x in lnr])
+            vals = _eval_distro(fun, lnr)
             conc = np.trapezoid(vals, lnr)  # [1/m3] @ STP
             for cell in range(n_cell):
                 n_in_cell = conc * dv_host[cell]

@@ -160,3 +160,8 @@ class opts_t:
         self.ice_nucl = False
         self.RH_max = 44.0      # no-limit default, as reference opts.hpp:37
         self.dt = -1.0          # <=0 means use opts_init.dt
+        # per-step source definitions (reference opts.hpp:40-48):
+        # {(kappa, rd_insol): (fun, src_sd_conc, supstp)} and
+        # {(kappa, rd_insol): {radius: (conc_per_s, sd_count, supstp)}}
+        self.src_dry_distros = {}
+        self.src_dry_sizes = {}

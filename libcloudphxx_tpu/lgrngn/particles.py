@@ -21,7 +21,8 @@ import numpy as np
 import math
 
 from . import coalescence, condensation, hskpng, init as init_mod
-from . import transport
+from . import source as source_mod
+from . import transport, turbulence
 from . import vterm as vterm_mod
 from .enums import backend_t, kernel_t
 from .opts import opts_init_t, opts_t
@@ -50,8 +51,9 @@ def _rc2_of(state: State, T_sd):
     return rw3_cr ** (2.0 / 3)
 
 
-@partial(jax.jit, static_argnums=0)
-def _step_cond_jit(cfg: StaticConfig, state: State, dt, RH_max):
+@partial(jax.jit, static_argnums=(0, 4))
+def _step_cond_jit(cfg: StaticConfig, state: State, dt, RH_max,
+                   turb_cond: bool = False):
     state = hskpng.hskpng_Tpr(cfg, state)
     if cfg.diag_incloud_time:
         # (reference particles_impl_update_incloud_time.ipp:38-66)
@@ -63,7 +65,8 @@ def _step_cond_jit(cfg: StaticConfig, state: State, dt, RH_max):
                 state.rw2 > rc2, state.incloud_time + dt, 0.0
             ),
         )
-    state = condensation.cond_percell(cfg, state, dt, RH_max)
+    state = condensation.cond_percell(cfg, state, dt, RH_max,
+                                      turb_cond=turb_cond)
     state = condensation.sstp_save(state)
     return state
 
@@ -75,17 +78,28 @@ def _tpr_jit(cfg: StaticConfig, state: State):
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def _step_async_jit(cfg: StaticConfig, sstp_coal: int, switches: tuple,
-                    state: State, params, w_LS, dt):
+                    state: State, params, w_LS, sgs_mix_len, dt):
     """The transport phase pipeline (reference particles_step.ipp:339-494):
-    Tpr -> vterm -> coalescence substeps -> advection -> sedimentation ->
-    subsidence -> boundary conditions/puddle -> re-binning."""
-    do_coal, do_adve, do_sedi, do_subs = switches
+    Tpr -> vterm -> coalescence substeps -> SGS turbulence -> advection ->
+    turbulent displacement -> sedimentation -> subsidence -> boundary
+    conditions/puddle -> re-binning."""
+    do_coal, do_adve, do_sedi, do_subs, do_turb_adve, do_turb_cond = switches
     state = hskpng.hskpng_Tpr(cfg, state)
     state = vterm_mod.hskpng_vterm_all(cfg, state)
     if do_coal:
         state = coalescence.coal(cfg, state, params, dt, sstp_coal)
+    if do_turb_adve or do_turb_cond:
+        # SGS block (particles_step.ipp:406-426)
+        state = turbulence.hskpng_tke(cfg, state, sgs_mix_len)
+        state = turbulence.hskpng_turb_vel(
+            cfg, state, sgs_mix_len, dt, only_vertical=not do_turb_adve
+        )
+        if do_turb_cond:
+            state = turbulence.hskpng_turb_dot_ss(cfg, state)
     if do_adve:
         state = transport.adve(cfg, state)
+    if do_turb_adve:
+        state = turbulence.turb_adve(cfg, state, dt)
     if do_sedi:
         state = transport.sedi(state, dt)
     if do_subs:
@@ -145,6 +159,10 @@ class particles_t:
         # diag selection cache (the reference's n_filtered temp vector)
         self._n_filtered = None
         self._outbuf = np.zeros(self.cfg.n_cell)
+        # source/relaxation super-step counters (particles_step.ipp:451-479)
+        self._src_ctr = 0
+        self._rlx_ctr = 0
+        self._src_rng = np.random.default_rng(opts_init.rng_seed + 1)
 
     def _courant_updates(self, courant_x, courant_y, courant_z):
         """Validate + flatten Arakawa-C staggered courant fields."""
@@ -223,7 +241,8 @@ class particles_t:
 
     # ------------------------------------------------------------- stepping
     def sync_in(self, th=None, rv=None, rhod=None, courant_x=None,
-                courant_y=None, courant_z=None, ambient_chem=None):
+                courant_y=None, courant_z=None, ambient_chem=None,
+                diss_rate=None):
         """(reference particles_step.ipp:32-158)"""
         if not self._init_called:
             raise RuntimeError(
@@ -236,7 +255,8 @@ class particles_t:
             )
         n_cell = self.cfg.n_cell
         updates = {}
-        for name, arr in (("th", th), ("rv", rv), ("rhod", rhod)):
+        for name, arr in (("th", th), ("rv", rv), ("rhod", rhod),
+                          ("diss_rate", diss_rate)):
             a = _as_flat(arr, n_cell, name)
             if a is not None:
                 updates[name] = jnp.asarray(a)
@@ -254,9 +274,14 @@ class particles_t:
             )
         self._should_now_run_cond = False
         dt = float(opts.dt) if opts.dt > 0 else self.cfg.dt
+        if opts.turb_cond and not self.cfg.turb_cond_switch:
+            raise RuntimeError(
+                "libcloudphxx: turb_cond_switch=False, but turb_cond==True"
+            )
         if opts.cond:
             self.state = _step_cond_jit(
-                self.cfg, self.state, dt, float(opts.RH_max)
+                self.cfg, self.state, dt, float(opts.RH_max),
+                bool(opts.turb_cond),
             )
             # sync out
             if th is not None:
@@ -266,10 +291,12 @@ class particles_t:
         self._should_now_run_async = True
 
     def step_sync(self, opts: opts_t, th, rv, rhod=None, courant_x=None,
-                  courant_y=None, courant_z=None, ambient_chem=None):
+                  courant_y=None, courant_z=None, ambient_chem=None,
+                  diss_rate=None):
         """step_sync = sync_in + step_cond (reference particles_step.ipp:15-29)."""
         self.sync_in(th=th, rv=rv, rhod=rhod, courant_x=courant_x,
-                     courant_y=courant_y, courant_z=courant_z)
+                     courant_y=courant_y, courant_z=courant_z,
+                     diss_rate=diss_rate)
         self.step_cond(opts, th=th, rv=rv)
 
     def step_async(self, opts: opts_t):
@@ -295,6 +322,9 @@ class particles_t:
                 "libcloudphxx: opts.coal == True requires opts_init.kernel"
             )
         do_adve = bool(opts.adve and self.cfg.n_dims > 0)
+        do_turb_adve = bool(opts.turb_adve
+                            and self.opts_init.turb_adve_switch)
+        do_turb_cond = bool(opts.turb_cond and self.cfg.turb_cond_switch)
         do_sedi = bool(opts.sedi and self.cfg.sedi_switch
                        and self.cfg.n_dims > 0)
         do_subs = bool(opts.subs and self.cfg.n_dims > 0)
@@ -314,11 +344,55 @@ class particles_t:
             np.asarray(self.opts_init.w_LS, dtype=np.float64)
             if len(self.opts_init.w_LS) else np.zeros(max(1, self.cfg.nz))
         )
-        if do_coal or do_adve or do_sedi or do_subs:
+        sgs_mix_len = jnp.asarray(
+            np.asarray(self.opts_init.SGS_mix_len, dtype=np.float64)
+            if len(self.opts_init.SGS_mix_len)
+            else np.full(max(1, self.cfg.nz), self.cfg.dz)
+        )
+        # aerosol source every supstp_src steps (particles_step.ipp:451-479)
+        if opts.src and (opts.src_dry_distros or opts.src_dry_sizes):
+            self._src_ctr += 1
+            self._apply_sources(opts, dt)
+
+        if do_coal or do_adve or do_sedi or do_subs or do_turb_adve \
+                or do_turb_cond:
             self.state = _step_async_jit(
-                self.cfg, int(sstp), (do_coal, do_adve, do_sedi, do_subs),
-                self.state, params, w_LS, dt,
+                self.cfg, int(sstp),
+                (do_coal, do_adve, do_sedi, do_subs, do_turb_adve,
+                 do_turb_cond),
+                self.state, params, w_LS, sgs_mix_len, dt,
             )
+
+    def _apply_sources(self, opts, dt):
+        state = _tpr_jit(self.cfg, self.state)
+        oi = self.opts_init
+        from .enums import src_t
+        due_distros = {
+            k: v for k, v in opts.src_dry_distros.items()
+            if self._src_ctr % int(v[2]) == 0
+        }
+        if due_distros:
+            if oi.src_type == src_t.matching:
+                state, _ = source_mod.src_matching_distros(
+                    self.cfg, oi, state, due_distros, dt, self._src_rng,
+                    oi.RH_max,
+                )
+            else:
+                state, _ = source_mod.src_simple_distros(
+                    self.cfg, oi, state, due_distros, dt, self._src_rng,
+                    oi.RH_max,
+                )
+        due_sizes = {
+            k: {r: spec for r, spec in sizes.items()
+                if self._src_ctr % int(spec[2]) == 0}
+            for k, sizes in opts.src_dry_sizes.items()
+        }
+        due_sizes = {k: v for k, v in due_sizes.items() if v}
+        if due_sizes:
+            state, _ = source_mod.src_dry_sizes(
+                self.cfg, oi, state, due_sizes, dt, self._src_rng, oi.RH_max,
+            )
+        self.state = state
 
     # ----------------------------------------------------------- diagnostics
     def _require_init(self):

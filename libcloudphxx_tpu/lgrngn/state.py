@@ -116,6 +116,12 @@ class State:
     z: jax.Array
     vt: jax.Array      # terminal velocity [m/s]
     incloud_time: jax.Array   # time spent activated [s] (diag_incloud_time)
+    # SGS turbulence perturbations (particles_impl.ipp:80-84)
+    up: jax.Array
+    vp: jax.Array
+    wp: jax.Array
+    ssp: jax.Array       # supersaturation perturbation
+    dot_ssp: jax.Array   # its tendency
     ijk: jax.Array     # linear cell index (i32); dead slots point at cell 0
 
     # --- Eulerian mirrors (particles_impl.ipp:122-146)
@@ -132,6 +138,7 @@ class State:
     RH: jax.Array
     eta: jax.Array
     dv: jax.Array      # cell volume [m3] (parcel: 1/rhod, i.e. 1 kg of air)
+    diss_rate: jax.Array   # TKE dissipation rate [m2/s3] (turbulent kernels)
 
     # --- per-cell condensation substepping state (sstp_save semantics)
     sstp_tmp_th: jax.Array
@@ -175,12 +182,14 @@ def empty_state(cfg: StaticConfig, dtype=None) -> State:
     return State(
         n=zsd, rd3=zsd, rw2=zsd, kpa=zsd,
         x=zsd, y=zsd, z=zsd, vt=zsd, incloud_time=zsd,
+        up=zsd, vp=zsd, wp=zsd, ssp=zsd, dot_ssp=zsd,
         ijk=jnp.zeros((n_sd,), jnp.int32),
         th=zc, rv=zc, rhod=zc, p=zc,
         courant_x=jnp.zeros((ncx,), dtype),
         courant_y=jnp.zeros((ncy,), dtype),
         courant_z=jnp.zeros((ncz,), dtype),
         T=zc, RH=zc, eta=zc, dv=jnp.ones((n_cell,), dtype),
+        diss_rate=zc,
         sstp_tmp_th=zc, sstp_tmp_rv=zc, sstp_tmp_rh=zc,
         key=jax.random.PRNGKey(44),
         puddle=jnp.zeros((len(PUDDLE_KEYS),), dtype),

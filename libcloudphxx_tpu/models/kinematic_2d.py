@@ -52,10 +52,11 @@ class Setup:
             (self.mean_rd1, self.sdev_rd1, self.n1_stp),
             (self.mean_rd2, self.sdev_rd2, self.n2_stp),
         ):
-            out += (
+            # np ufuncs so the whole-population init evaluates vectorized
+            out = out + (
                 n_tot
-                * exp(-((lnr - log(mean)) ** 2) / (2 * log(sdev) ** 2))
-                / log(sdev) / sqrt(2 * pi)
+                * np.exp(-((lnr - np.log(mean)) ** 2) / (2 * np.log(sdev) ** 2))
+                / np.log(sdev) / np.sqrt(2 * np.pi)
             )
         return out
 

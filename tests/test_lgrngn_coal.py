@@ -134,3 +134,71 @@ def test_golovin_const_multi():
     # reference gate: RMSD < 3e-5 (coalescence_golovin.py:144)
     err = rmsd(results, analytic)
     assert err < 3e-5, err
+
+
+def test_all_kernels_smoke():
+    # mirrors reference tests/python/unit/col_kernels.py: every kernel runs
+    # one coalescence step without blowing up
+    from math import exp, log, sqrt
+    def lognormal(lnr):
+        return 60e6*np.exp(-(lnr-np.log(0.02e-6))**2/2/np.log(1.4)**2) \
+            / np.log(1.4)/np.sqrt(2*np.pi)
+    k = lgrngn.kernel_t
+    cases = [
+        (k.geometric, []), (k.geometric, [10.0]), (k.long, []),
+        (k.hall, []), (k.hall_davis_no_waals, []), (k.golovin, [1.0]),
+        (k.onishi_hall, [100.0]), (k.onishi_hall_davis_no_waals, [100.0]),
+        (k.vohl_davis_no_waals, []), (k.hall_pinsky_cumulonimbus, []),
+        (k.hall_pinsky_stratocumulus, []), (k.hall_pinsky_1000mb_grav, []),
+    ]
+    rhod = np.ones(1); th = 300.0*np.ones(1); rv = 0.01*np.ones(1)
+    diss = 0.04*np.ones(1)
+    for kern, par in cases:
+        oi = lgrngn.opts_init_t()
+        oi.dt = 1
+        oi.dry_distros = {(0.61, 0.0): lognormal}
+        oi.sd_conc = 50
+        oi.n_sd_max = 50
+        oi.terminal_velocity = lgrngn.vt_t.beard76
+        oi.kernel = kern
+        oi.kernel_parameters = par
+        oi.sedi_switch = False
+        turb = kern in (k.onishi_hall, k.onishi_hall_davis_no_waals)
+        oi.turb_coal_switch = turb
+        prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+        prtcls.init(th.copy(), rv.copy(), rhod)
+        opts = lgrngn.opts_t()
+        opts.adve = opts.sedi = opts.cond = opts.chem_dsl = False
+        opts.coal = True
+        opts.turb_coal = turb
+        if turb:
+            prtcls.step_sync(opts, th.copy(), rv.copy(), rhod,
+                             diss_rate=diss)
+        else:
+            prtcls.step_sync(opts, th.copy(), rv.copy(), rhod)
+        prtcls.step_async(opts)
+        rw2 = prtcls.get_attr("rw2")
+        assert np.isfinite(rw2).all(), kern
+        n = prtcls.get_attr("n")
+        # mass conserved by coalescence
+        assert np.isfinite(n).all(), kern
+
+
+def test_hall_efficiency_table_values():
+    # spot-check the extracted Hall-1980 table against known physics:
+    # small/similar drops have tiny efficiency; large collectors ~1
+    from libcloudphxx_tpu.lgrngn import coalescence as coal_mod
+    table, r_max = coal_mod.load_efficiency_table(lgrngn.kernel_t.hall)
+    import jax.numpy as jnp
+    eff_small = float(coal_mod.interpolated_efficiency(
+        table, r_max, jnp.asarray(10e-6), jnp.asarray(3e-6)))
+    eff_large = float(coal_mod.interpolated_efficiency(
+        table, r_max, jnp.asarray(300e-6), jnp.asarray(150e-6)))
+    assert 0.0 <= eff_small < 0.3
+    assert 0.5 < eff_large <= 1.1
+    # symmetric in radii
+    a = float(coal_mod.interpolated_efficiency(
+        table, r_max, jnp.asarray(50e-6), jnp.asarray(20e-6)))
+    b = float(coal_mod.interpolated_efficiency(
+        table, r_max, jnp.asarray(20e-6), jnp.asarray(50e-6)))
+    assert a == pytest.approx(b, rel=1e-12)

@@ -165,3 +165,89 @@ def test_open_side_walls_remove():
     prtcls.diag_sd_conc()
     tab = prtcls.outbuf().reshape(NX, NZ)
     assert (tab[0, :] == 0).all()  # nothing wrapped around
+
+
+def test_sgs_turbulence():
+    # GA17 SGS: velocity perturbations develop with sane magnitudes and
+    # displace SDs; turb_cond perturbs supersaturation per SD
+    oi = make_opts_init(turb_adve_switch=True, turb_cond_switch=True,
+                        SGS_mix_len=[50.0] * NZ)
+    opts = make_opts(adve=False, turb_adve=True, turb_cond=True, cond=True)
+    rhod, th, rv = grid_fields()
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    prtcls.init(th, rv, rhod)
+    x0 = prtcls.get_attr("x").copy()
+    diss = 1e-3 * np.ones((NX, NZ))  # typical cloud dissipation rate
+    for _ in range(5):
+        prtcls.step_sync(opts, th, rv, rhod, diss_rate=diss)
+        prtcls.step_async(opts)
+    st = prtcls.state
+    up = np.asarray(st.up)
+    alive = prtcls.get_attr("n") > 0
+    # TKE = (50*1e-3/0.845)^(2/3) ~ 0.15 m2/s2 -> u' ~ sqrt(2/3*TKE) ~ 0.3
+    assert 0.01 < np.abs(up[alive]).mean() < 1.0
+    assert not np.allclose(prtcls.get_attr("x")[alive], x0[alive])
+    ssp = np.asarray(st.ssp)
+    assert np.isfinite(ssp).all()
+    assert np.abs(ssp[alive]).max() > 0
+
+
+@pytest.mark.parametrize("src_type", ["simple", "matching"])
+def test_aerosol_source(src_type):
+    # mirrors reference tests/python/unit/source.py: in 100 steps with
+    # supstp=50, two source calls double the droplet concentration in the
+    # source-box cells
+    from math import exp, log, sqrt, pi as PI
+
+    def lognormal_init(lnr):
+        return 60e6 * exp(-(lnr - log(0.02e-6))**2 / 2 / log(1.4)**2) \
+            / log(1.4) / sqrt(2 * PI)
+
+    def lognormal_src(lnr):
+        return 60e4 * exp(-(lnr - log(0.05e-6))**2 / 2 / log(1.4)**2) \
+            / log(1.4) / sqrt(2 * PI)
+
+    oi = lgrngn.opts_init_t()
+    oi.dt = 1
+    oi.nx = oi.nz = 2
+    oi.dx = oi.dz = 1.0
+    oi.x1 = oi.z1 = 2.0
+    oi.src_z0, oi.src_z1 = 0.0, 1.0   # lower cells only
+    oi.src_x0, oi.src_x1 = 0.0, 2.0
+    oi.coal_switch = oi.sedi_switch = False
+    oi.dry_distros = {(0.61, 0.5e-6): lognormal_init}
+    oi.sd_conc = 256
+    src_sd_conc, supstp = 128, 50
+    oi.n_sd_max = (256 * 2 + 128 * 2) * 2
+    oi.src_type = getattr(lgrngn.src_t, src_type)
+
+    opts = lgrngn.opts_t()
+    opts.adve = opts.sedi = opts.coal = opts.cond = opts.chem_dsl = False
+    opts.src = True
+    opts.src_dry_distros = {
+        (0.61, 0.5e-6): (lognormal_src, src_sd_conc, supstp)}
+
+    rhod = np.ones((2, 2)); th = 300.0*np.ones((2, 2))
+    rv = 0.01*np.ones((2, 2))
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    prtcls.init(th, rv, rhod)
+    for _ in range(100):
+        prtcls.step_sync(opts, th, rv, rhod)
+        prtcls.step_async(opts)
+
+    prtcls.diag_all()
+    prtcls.diag_sd_conc()
+    sd = prtcls.outbuf().copy()
+    prtcls.diag_all()
+    prtcls.diag_wet_mom(0)
+    mom0 = prtcls.outbuf().copy()
+    # cells ordered (i*nz + k): 0 and 2 are the lower (source) cells
+    assert sd[1] == 256 and sd[3] == 256  # no SDs added outside the box
+    if src_type == "simple":
+        assert sd[0] == 256 + 2 * src_sd_conc
+        assert sd[2] == 256 + 2 * src_sd_conc
+    else:
+        assert 256 < sd[0] <= 256 + 2 * src_sd_conc
+    # concentration doubled in the source cells (source.py gate 1.5%)
+    ratio = (mom0[0] + mom0[2]) / (mom0[1] + mom0[3])
+    assert abs(ratio - 2.0) < 0.03
