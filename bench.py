@@ -29,19 +29,24 @@ N_STEPS = 10
 
 
 def main():
+    import sys
+
     from libcloudphxx_tpu.models import Kinematic2D
 
+    print(f"# devices: {jax.devices()}", file=sys.stderr, flush=True)
     model = Kinematic2D(
         nx=NX, nz=NZ, micro="lgrngn", sd_conc=SD_CONC,
         sstp_cond=SSTP_COND, sstp_coal=SSTP_COAL,
         n_sd_max=SD_CONC * NX * NZ,
     )
     n_sd = int(np.sum(model.prtcls.get_attr("n") > 0))
+    print(f"# init done: {n_sd} SDs", file=sys.stderr, flush=True)
 
     # warmup / compile: the model runs the per-phase jits (mpdata advection,
     # condensation, transport) — fusing everything into one XLA program
     # explodes compile time without a runtime win
     model.run(2)
+    print("# warmup done", file=sys.stderr, flush=True)
 
     t0 = time.perf_counter()
     model.run(N_STEPS)

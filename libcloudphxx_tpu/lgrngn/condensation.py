@@ -126,11 +126,17 @@ def cond_percell(cfg: StaticConfig, state: State, dt, RH_max,
     # then feed the delta back in sstp equal increments interleaved with
     # condensation.  For sstp == 1 one increment applies the whole delta,
     # reproducing the reference's early-return path.
-    delta_th = state.th - state.sstp_tmp_th
-    delta_rv = state.rv - state.sstp_tmp_rv
-    state = dataclasses.replace(
-        state, th=state.sstp_tmp_th, rv=state.sstp_tmp_rv
-    )
+    if cfg.exact_sstp_cond:
+        # per-SD-shaped tmp arrays; this path only runs for sstp == 1
+        # (reference particles_step.ipp:199: exact branch needs sstp > 1)
+        delta_th = jnp.zeros_like(state.th)
+        delta_rv = jnp.zeros_like(state.rv)
+    else:
+        delta_th = state.th - state.sstp_tmp_th
+        delta_rv = state.rv - state.sstp_tmp_rv
+        state = dataclasses.replace(
+            state, th=state.sstp_tmp_th, rv=state.sstp_tmp_rv
+        )
 
     lambda_D, lambda_K = hskpng.hskpng_mfp(state.T, state.p)
 
@@ -161,17 +167,149 @@ def cond_percell(cfg: StaticConfig, state: State, dt, RH_max,
         drv = (mom3_after - mom3_before) * (4.0 / 3) * c.pi * c.rho_w
         rv_new = st.rv - drv
         th_new = st.th - drv * theta_dry.d_th_d_rv(st.T, st.th)
-        return dataclasses.replace(st, th=th_new, rv=rv_new)
+        st = dataclasses.replace(st, th=th_new, rv=rv_new)
+        if cfg.ice_switch:
+            # depositional growth of ice each substep (particles_step.ipp:
+            # 251-255 -> ice_dep)
+            from . import ice as ice_mod
+            st = ice_mod.ice_dep_substep(cfg, st, dt_sub, RH_max)
+        return st
 
     return jax.lax.fori_loop(0, sstp, substep, state)
 
 
-def sstp_save(state: State) -> State:
-    """Snapshot rv/th/rhod for the next substepping cycle
-    (reference sstp_save.ipp:7-35, percell variant)."""
+def sstp_save(state: State, exact: bool = False) -> State:
+    """Snapshot rv/th/rhod(/p) for the next substepping cycle
+    (reference sstp_save.ipp:7-35).  In exact (per-particle) mode each SD
+    keeps its own copy of the cell values."""
+    if exact:
+        g = lambda arr: arr[state.ijk]
+        return dataclasses.replace(
+            state,
+            sstp_tmp_th=g(state.th),
+            sstp_tmp_rv=g(state.rv),
+            sstp_tmp_rh=g(state.rhod),
+            sstp_tmp_p=g(state.p),
+        )
     return dataclasses.replace(
         state,
         sstp_tmp_th=state.th,
         sstp_tmp_rv=state.rv,
         sstp_tmp_rh=state.rhod,
     )
+
+
+def cond_perparticle(cfg: StaticConfig, state: State, dt, RH_max,
+                     turb_cond: bool = False) -> State:
+    """Exact per-particle condensation substepping
+    (reference particles_step.ipp:219-232 + src/impl/condensation/
+    perparticle/): each SD carries its own th/rv/rhod(/p) copy; the ambient
+    (advective) change feeds in per-SD increments; growth and latent
+    heating evolve the SD's private state; per-cell th/rv are updated once
+    at the end.  Implements the sstp_cond_mix=True (instant in-cell mixing
+    each substep) and False (no mixing) variants."""
+    from ..common import theta_std
+    from . import hskpng as hskpng_mod
+
+    sstp = cfg.sstp_cond
+    dt_sub = dt / sstp
+    mix = True  # reference default opts_init.sstp_cond_mix
+
+    g = lambda arr: arr[state.ijk]
+    # per-SD ambient deltas (calculate_noncond_perparticle_sstp_delta.ipp)
+    dlt_rv = g(state.rv) - state.sstp_tmp_rv
+    dlt_th = g(state.th) - state.sstp_tmp_th
+    dlt_rh = g(state.rhod) - state.sstp_tmp_rh
+    dlt_p = g(state.p) - state.sstp_tmp_p
+
+    live = state.n > 0
+    dv_sd = g(state.dv)
+
+    def substep(_, st):
+        tmp_rv = st.sstp_tmp_rv + dlt_rv / sstp
+        tmp_th = st.sstp_tmp_th + dlt_th / sstp
+        tmp_rh = st.sstp_tmp_rh + dlt_rh / sstp
+        tmp_p = st.sstp_tmp_p + (dlt_p / sstp if cfg.const_p else 0.0)
+
+        # per-SD thermodynamics (cond_perparticle_advance_rw2.ipp)
+        if cfg.th_dry:
+            Tp = theta_dry.T(tmp_th, jnp.maximum(tmp_rh, 1e-10))
+        else:
+            Tp = tmp_th * theta_std.exner(jnp.maximum(tmp_p, 1.0))
+        if cfg.const_p:
+            pp = tmp_p
+        else:
+            pp = theta_dry.p(tmp_rh, tmp_rv, Tp)
+        RHp = hskpng_mod.RH_of(cfg, jnp.maximum(pp, 1.0), tmp_rv, Tp)
+        if turb_cond:
+            RHp = RHp + st.ssp
+        from ..common import mean_free_path as mfp
+        from ..common import vterm as cv
+        lam_D = mfp.lambda_D(Tp)
+        lam_K = mfp.lambda_K(Tp, jnp.maximum(pp, 1.0))
+        eta_p = cv.visc(Tp)
+
+        rw3_old = st.rw2 * jnp.sqrt(jnp.maximum(st.rw2, 0.0))
+        rw2_new = advance_rw2(
+            dt_sub, st.rw2, st.rd3, st.kpa, st.vt,
+            tmp_rh, tmp_rv, Tp, pp, RHp, eta_p, lam_D, lam_K, RH_max,
+        )
+        rw3_new = rw2_new * jnp.sqrt(jnp.maximum(rw2_new, 0.0))
+        drw3 = jnp.where(live, rw3_new - rw3_old, 0.0)
+
+        # drv from the SD's own 3rd-moment change
+        # (apply_perparticle_drw3_to_perparticle_rv_and_th.ipp, rw3diff2drv)
+        mlt = -(4.0 / 3) * c.pi * c.rho_w
+        if cfg.n_dims > 0:
+            drv = mlt * drw3 * st.n / tmp_rh / dv_sd
+        else:
+            drv = mlt * drw3 * st.n  # parcel: 1 kg of air
+        if mix:
+            cell_drv = jax.ops.segment_sum(
+                drv, st.ijk, num_segments=cfg.n_cell
+            )
+            drv_eff = cell_drv[st.ijk]
+        else:
+            drv_eff = drv
+        tmp_rv = tmp_rv + drv_eff
+        dth = drv_eff * theta_dry.d_th_d_rv(Tp, tmp_th)
+        if mix:
+            # careful: the mixed dth is computed per SD from the mixed drv
+            # then shared — but drv_eff is already the cell sum, so dth is
+            # identical for every SD of a cell up to its private Tp/th;
+            # the reference computes dth per SD from the per-SD drw3 and
+            # mixes the *dth* sum (update_pstate), so do the same:
+            dth_own = drv * theta_dry.d_th_d_rv(Tp, tmp_th)
+            cell_dth = jax.ops.segment_sum(
+                dth_own, st.ijk, num_segments=cfg.n_cell
+            )
+            tmp_th = st.sstp_tmp_th + dlt_th / sstp + cell_dth[st.ijk]
+            tmp_rv = st.sstp_tmp_rv + dlt_rv / sstp + drv_eff
+        else:
+            tmp_th = tmp_th + dth
+
+        return dataclasses.replace(
+            st, rw2=rw2_new,
+            sstp_tmp_rv=tmp_rv, sstp_tmp_th=tmp_th,
+            sstp_tmp_rh=tmp_rh, sstp_tmp_p=tmp_p,
+        )
+
+    mom3_before = _specific_mom3(cfg, state)
+    state = jax.lax.fori_loop(0, sstp, substep, state)
+
+    if mix:
+        # copy any SD's (identical) private cell state back to the cell
+        # (update_state, particles_impl_update_th_rv.ipp:283-297)
+        oob = cfg.n_cell
+        tgt = jnp.where(live, state.ijk, oob)
+        rv_new = state.rv.at[tgt].set(state.sstp_tmp_rv, mode="drop")
+        th_new = state.th.at[tgt].set(state.sstp_tmp_th, mode="drop")
+        state = dataclasses.replace(state, rv=rv_new, th=th_new)
+    else:
+        # cell-level closure from the total liquid-content change
+        mom3_after = _specific_mom3(cfg, state)
+        drv = (mom3_after - mom3_before) * (4.0 / 3) * c.pi * c.rho_w
+        rv_new = state.rv - drv
+        th_new = state.th - drv * theta_dry.d_th_d_rv(state.T, state.th)
+        state = dataclasses.replace(state, rv=rv_new, th=th_new)
+    return state

@@ -105,7 +105,13 @@ def init_SD(cfg: StaticConfig, oi, state: State, rng: np.random.Generator,
     )
 
     # host-side accumulation, then one device upload
-    lnrd_l, n_l, kpa_l, ijk_l = [], [], [], []
+    lnrd_l, n_l, kpa_l, ijk_l, insol_l = [], [], [], [], []
+
+    def key_parts(key):
+        """(kappa, rd_insol) key, reference distro_t.hpp:9-57."""
+        if isinstance(key, tuple):
+            return key[0], (key[1] if len(key) > 1 else 0.0)
+        return key, 0.0
 
     def cell_volumes():
         if cfg.n_dims == 0:
@@ -125,7 +131,7 @@ def init_SD(cfg: StaticConfig, oi, state: State, rng: np.random.Generator,
         tot_rng = sum(a[1] - a[0] for a in analyses.values())
 
         for key, fun in oi.dry_distros.items():
-            kappa = key[0] if isinstance(key, tuple) else key
+            kappa, rd_insol = key_parts(key)
             log_lo, log_hi, mult = analyses[key]
             fraction = (log_hi - log_lo) / tot_rng
             count = int(fraction * oi.sd_conc + 0.5)  # SDs per cell
@@ -153,11 +159,12 @@ def init_SD(cfg: StaticConfig, oi, state: State, rng: np.random.Generator,
             n_l.append(multiplicity.ravel())
             kpa_l.append(np.full(n_cell * count, kappa))
             ijk_l.append(np.repeat(np.arange(n_cell), count))
+            insol_l.append(np.full(n_cell * count, rd_insol))
 
     elif oi.dry_distros and oi.sd_const_multi > 0:
         # --- const-multi mode (init_SD_with_distros_const_multi.ipp)
         for key, fun in oi.dry_distros.items():
-            kappa = key[0] if isinstance(key, tuple) else key
+            kappa, rd_insol = key_parts(key)
             log_lo, log_hi = _dist_analysis_const_multi(fun)
             # expected total number of particles in each cell / multiplicity
             # via trapezoid integral of n(lnrd)
@@ -180,11 +187,12 @@ def init_SD(cfg: StaticConfig, oi, state: State, rng: np.random.Generator,
                 n_l.append(np.full(count, float(oi.sd_const_multi)))
                 kpa_l.append(np.full(count, kappa))
                 ijk_l.append(np.full(count, cell, dtype=np.int64))
+                insol_l.append(np.full(count, rd_insol))
 
     if oi.dry_sizes:
         # --- dry_sizes mode (init_SD_with_sizes.ipp)
         for key, sizes in oi.dry_sizes.items():
-            kappa = key[0] if isinstance(key, tuple) else key
+            kappa, rd_insol = key_parts(key)
             for radius, (conc, sd_count) in sizes.items():
                 sd_count = int(sd_count)
                 for cell in range(n_cell):
@@ -196,6 +204,7 @@ def init_SD(cfg: StaticConfig, oi, state: State, rng: np.random.Generator,
                     n_l.append(np.full(sd_count, float(multiplicity)))
                     kpa_l.append(np.full(sd_count, kappa))
                     ijk_l.append(np.full(sd_count, cell, dtype=np.int64))
+                    insol_l.append(np.full(sd_count, rd_insol))
 
     if not lnrd_l:
         raise ValueError(
@@ -207,6 +216,7 @@ def init_SD(cfg: StaticConfig, oi, state: State, rng: np.random.Generator,
     mult = np.concatenate(n_l)
     kpa = np.concatenate(kpa_l)
     ijk = np.concatenate(ijk_l).astype(np.int32)
+    rd_insol = np.concatenate(insol_l)
     n_part = lnrd.size
     if n_part > cfg.n_sd_max:
         raise RuntimeError(
@@ -254,7 +264,15 @@ def init_SD(cfg: StaticConfig, oi, state: State, rng: np.random.Generator,
             np.concatenate([ijk, np.zeros(pad, np.int32)]), jnp.int32
         ),
         vt=jnp.zeros((cfg.n_sd_max,), dtype),
+        rd2_insol=padded(rd_insol**2),
     )
+    if cfg.ice_switch and not cfg.time_dep_ice_nucl:
+        # singular freezing temperatures (reference init_T_freeze.ipp:16-31)
+        from ..common import ice_nucleation
+        u = jnp.asarray(np.concatenate(
+            [rng.random(n_part), np.full(pad, 0.5)]), dtype)
+        T_freeze = ice_nucleation.T_freeze_CDF_inv(state.rd2_insol, u)
+        state = dataclasses.replace(state, T_freeze=T_freeze)
     return state
 
 

@@ -51,10 +51,27 @@ def _rc2_of(state: State, T_sd):
     return rw3_cr ** (2.0 / 3)
 
 
-@partial(jax.jit, static_argnums=(0, 4))
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
 def _step_cond_jit(cfg: StaticConfig, state: State, dt, RH_max,
-                   turb_cond: bool = False):
+                   turb_cond: bool = False, ice_nucl: bool = False,
+                   do_cond: bool = True):
     state = hskpng.hskpng_Tpr(cfg, state)
+    if cfg.ice_switch and ice_nucl:
+        # freezing/melting phase changes (particles_step.ipp:183-185)
+        from . import ice as ice_mod
+        state = ice_mod.ice_nucl_melt(
+            cfg, state, dt, cfg.time_dep_ice_nucl
+        )
+        state = hskpng.hskpng_Tpr(cfg, state)
+    if not do_cond:
+        return state
+    if cfg.exact_sstp_cond and cfg.sstp_cond > 1:
+        # exact per-particle substepping (particles_step.ipp:199-236)
+        state = condensation.cond_perparticle(
+            cfg, state, dt, RH_max, turb_cond=turb_cond
+        )
+        state = condensation.sstp_save(state, exact=True)
+        return state
     if cfg.diag_incloud_time:
         # (reference particles_impl_update_incloud_time.ipp:38-66)
         rc2 = _rc2_of(state, state.T[state.ijk])
@@ -67,7 +84,7 @@ def _step_cond_jit(cfg: StaticConfig, state: State, dt, RH_max,
         )
     state = condensation.cond_percell(cfg, state, dt, RH_max,
                                       turb_cond=turb_cond)
-    state = condensation.sstp_save(state)
+    state = condensation.sstp_save(state, exact=cfg.exact_sstp_cond)
     return state
 
 
@@ -83,7 +100,8 @@ def _step_async_jit(cfg: StaticConfig, sstp_coal: int, switches: tuple,
     Tpr -> vterm -> coalescence substeps -> SGS turbulence -> advection ->
     turbulent displacement -> sedimentation -> subsidence -> boundary
     conditions/puddle -> re-binning."""
-    do_coal, do_adve, do_sedi, do_subs, do_turb_adve, do_turb_cond = switches
+    (do_coal, do_adve, do_sedi, do_subs, do_turb_adve, do_turb_cond,
+     do_rcyc) = switches
     state = hskpng.hskpng_Tpr(cfg, state)
     state = vterm_mod.hskpng_vterm_all(cfg, state)
     if do_coal:
@@ -105,6 +123,9 @@ def _step_async_jit(cfg: StaticConfig, sstp_coal: int, switches: tuple,
     if do_subs:
         state = transport.subs(cfg, state, w_LS, dt)
     state = transport.bcnd(cfg, state)
+    if do_rcyc:
+        from . import recycle
+        state = recycle.rcyc(cfg, state)
     state = transport.post_step(cfg, state)
     return state
 
@@ -234,7 +255,7 @@ class particles_t:
             st = init_mod.init_SD(self.cfg, oi, st, rng, rhod)
             st = init_mod.init_wet(self.cfg, st, oi.RH_max)
 
-        st = condensation.sstp_save(st)
+        st = condensation.sstp_save(st, exact=self.cfg.exact_sstp_cond)
         self.state = st
         self._should_now_run_cond = False
         self._should_now_run_async = False
@@ -278,10 +299,12 @@ class particles_t:
             raise RuntimeError(
                 "libcloudphxx: turb_cond_switch=False, but turb_cond==True"
             )
-        if opts.cond:
+        if opts.cond or (opts.ice_nucl and self.cfg.ice_switch):
             self.state = _step_cond_jit(
                 self.cfg, self.state, dt, float(opts.RH_max),
                 bool(opts.turb_cond),
+                bool(opts.ice_nucl and self.cfg.ice_switch),
+                bool(opts.cond),
             )
             # sync out
             if th is not None:
@@ -325,6 +348,7 @@ class particles_t:
         do_turb_adve = bool(opts.turb_adve
                             and self.opts_init.turb_adve_switch)
         do_turb_cond = bool(opts.turb_cond and self.cfg.turb_cond_switch)
+        do_rcyc = bool(opts.rcyc)
         do_sedi = bool(opts.sedi and self.cfg.sedi_switch
                        and self.cfg.n_dims > 0)
         do_subs = bool(opts.subs and self.cfg.n_dims > 0)
@@ -354,12 +378,24 @@ class particles_t:
             self._src_ctr += 1
             self._apply_sources(opts, dt)
 
+        # CCN relaxation every supstp_rlx steps (particles_step.ipp:463-473)
+        if opts.rlx and self.opts_init.rlx_switch \
+                and self.opts_init.rlx_dry_distros:
+            self._rlx_ctr += 1
+            if self._rlx_ctr % int(self.opts_init.supstp_rlx) == 0:
+                from . import relax as relax_mod
+                state = _tpr_jit(self.cfg, self.state)
+                state, _ = relax_mod.rlx_dry_distros(
+                    self.cfg, self.opts_init, state, dt, self._src_rng
+                )
+                self.state = state
+
         if do_coal or do_adve or do_sedi or do_subs or do_turb_adve \
-                or do_turb_cond:
+                or do_turb_cond or do_rcyc:
             self.state = _step_async_jit(
                 self.cfg, int(sstp),
                 (do_coal, do_adve, do_sedi, do_subs, do_turb_adve,
-                 do_turb_cond),
+                 do_turb_cond, do_rcyc),
                 self.state, params, w_LS, sgs_mix_len, dt,
             )
 
@@ -490,6 +526,95 @@ class particles_t:
         self._set_outbuf(_moms_calc_jit(
             self.cfg, self.state, float(n), self._n_filtered, self.state.kpa
         ))
+
+    def _require_ice(self):
+        if not self.opts_init.ice_switch:
+            raise RuntimeError(
+                "libcloudphxx: ice is switched off in opts_init, "
+                "but diag_ice was called"
+            )
+
+    def diag_ice(self):
+        """Select frozen SDs (reference particles_diag.ipp:276-283)."""
+        self._require_ice()
+        self._n_filtered = jnp.where(self.state.ice_a > 0, self.state.n, 0.0)
+
+    def diag_water(self):
+        """Select liquid SDs (particles_diag.ipp:285-290)."""
+        self._require_init()
+        self._n_filtered = jnp.where(self.state.rw2 > 0, self.state.n, 0.0)
+
+    def diag_ice_cons(self):
+        self._require_ice()
+        self._cons(self.state.ice_a > 0)
+
+    def diag_water_cons(self):
+        self._require_init()
+        self._cons(self.state.rw2 > 0)
+
+    def diag_ice_a_rng(self, a_min, a_max):
+        self._require_ice()
+        a = self.state.ice_a
+        self._n_filtered = jnp.where(
+            (a >= a_min) & (a < a_max), self.state.n, 0.0)
+
+    def diag_ice_c_rng(self, c_min, c_max):
+        self._require_ice()
+        cc = self.state.ice_c
+        self._n_filtered = jnp.where(
+            (cc >= c_min) & (cc < c_max), self.state.n, 0.0)
+
+    def diag_ice_a_rng_cons(self, a_min, a_max):
+        self._require_ice()
+        a = self.state.ice_a
+        self._cons((a >= a_min) & (a < a_max))
+
+    def diag_ice_c_rng_cons(self, c_min, c_max):
+        self._require_ice()
+        cc = self.state.ice_c
+        self._cons((cc >= c_min) & (cc < c_max))
+
+    def diag_ice_a_mom(self, n):
+        self._require_ice()
+        self._check_selected()
+        self._set_outbuf(_moms_calc_jit(
+            self.cfg, self.state, float(n), self._n_filtered,
+            self.state.ice_a,
+        ))
+
+    def diag_ice_c_mom(self, n):
+        self._require_ice()
+        self._check_selected()
+        self._set_outbuf(_moms_calc_jit(
+            self.cfg, self.state, float(n), self._n_filtered,
+            self.state.ice_c,
+        ))
+
+    def diag_ice_mix_ratio(self):
+        """Specific ice mass per cell (particles_diag.ipp:443-454)."""
+        self._require_ice()
+        self._check_selected()
+        from . import ice as ice_mod
+        mass = ice_mod.ice_mass(
+            self.state.ice_a, self.state.ice_c, self.state.ice_rho)
+        self._set_outbuf(_moms_calc_jit(
+            self.cfg, self.state, 1.0, self._n_filtered, mass,
+        ))
+
+    def diag_precip_rate_ice_mass(self):
+        """1st non-specific moment of ice_mass * vt
+        (particles_diag.ipp:590-607)."""
+        self._require_ice()
+        self._check_selected()
+        from . import ice as ice_mod
+        st = _tpr_jit(self.cfg, self.state)
+        st = vterm_mod.hskpng_vterm_all(self.cfg, st)
+        mass = ice_mod.ice_mass(st.ice_a, st.ice_c, st.ice_rho)
+        mom = jax.ops.segment_sum(
+            self._n_filtered * mass * st.vt, st.ijk,
+            num_segments=self.cfg.n_cell,
+        )
+        self._set_outbuf(mom)
 
     def diag_rw_ge_rc(self):
         """Select activated SDs: rw >= critical radius

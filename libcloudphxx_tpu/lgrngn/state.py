@@ -55,6 +55,8 @@ class StaticConfig:
     periodic_topbot_walls: bool = field(metadata=dict(static=True))
     diag_incloud_time: bool = field(metadata=dict(static=True), default=False)
     rc2_T: float = field(metadata=dict(static=True), default=10.0)
+    ice_switch: bool = field(metadata=dict(static=True), default=False)
+    time_dep_ice_nucl: bool = field(metadata=dict(static=True), default=False)
 
     def __hash__(self):
         return hash(tuple(getattr(self, f.name) for f in fields(self)))
@@ -93,6 +95,8 @@ class StaticConfig:
             periodic_topbot_walls=bool(oi.periodic_topbot_walls),
             diag_incloud_time=bool(oi.diag_incloud_time),
             rc2_T=float(oi.rc2_T),
+            ice_switch=bool(oi.ice_switch),
+            time_dep_ice_nucl=bool(oi.time_dep_ice_nucl),
         )
 
 
@@ -122,6 +126,13 @@ class State:
     wp: jax.Array
     ssp: jax.Array       # supersaturation perturbation
     dot_ssp: jax.Array   # its tendency
+    # ice attributes (particles_impl.ipp:93-99): spheroid semi-axes,
+    # apparent density, singular freezing temperature, insoluble-core radius^2
+    ice_a: jax.Array
+    ice_c: jax.Array
+    ice_rho: jax.Array
+    T_freeze: jax.Array
+    rd2_insol: jax.Array
     ijk: jax.Array     # linear cell index (i32); dead slots point at cell 0
 
     # --- Eulerian mirrors (particles_impl.ipp:122-146)
@@ -140,10 +151,12 @@ class State:
     dv: jax.Array      # cell volume [m3] (parcel: 1/rhod, i.e. 1 kg of air)
     diss_rate: jax.Array   # TKE dissipation rate [m2/s3] (turbulent kernels)
 
-    # --- per-cell condensation substepping state (sstp_save semantics)
+    # --- condensation substepping state (sstp_save semantics); per-cell
+    # arrays normally, per-SD in exact_sstp_cond mode (sstp_save.ipp:13-34)
     sstp_tmp_th: jax.Array
     sstp_tmp_rv: jax.Array
     sstp_tmp_rh: jax.Array
+    sstp_tmp_p: jax.Array   # only used in exact const_p mode
 
     # --- bookkeeping
     key: jax.Array          # jax.random key (run sequence)
@@ -183,6 +196,7 @@ def empty_state(cfg: StaticConfig, dtype=None) -> State:
         n=zsd, rd3=zsd, rw2=zsd, kpa=zsd,
         x=zsd, y=zsd, z=zsd, vt=zsd, incloud_time=zsd,
         up=zsd, vp=zsd, wp=zsd, ssp=zsd, dot_ssp=zsd,
+        ice_a=zsd, ice_c=zsd, ice_rho=zsd, T_freeze=zsd, rd2_insol=zsd,
         ijk=jnp.zeros((n_sd,), jnp.int32),
         th=zc, rv=zc, rhod=zc, p=zc,
         courant_x=jnp.zeros((ncx,), dtype),
@@ -190,7 +204,10 @@ def empty_state(cfg: StaticConfig, dtype=None) -> State:
         courant_z=jnp.zeros((ncz,), dtype),
         T=zc, RH=zc, eta=zc, dv=jnp.ones((n_cell,), dtype),
         diss_rate=zc,
-        sstp_tmp_th=zc, sstp_tmp_rv=zc, sstp_tmp_rh=zc,
+        sstp_tmp_th=(zsd if cfg.exact_sstp_cond else zc),
+        sstp_tmp_rv=(zsd if cfg.exact_sstp_cond else zc),
+        sstp_tmp_rh=(zsd if cfg.exact_sstp_cond else zc),
+        sstp_tmp_p=(zsd if cfg.exact_sstp_cond else jnp.zeros((0,), dtype)),
         key=jax.random.PRNGKey(44),
         puddle=jnp.zeros((len(PUDDLE_KEYS),), dtype),
     )

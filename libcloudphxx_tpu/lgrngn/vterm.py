@@ -7,11 +7,31 @@ itself evaluates in a fused VPU pass, so 'fast' and plain beard77 share the
 direct formula (same physics, no quantisation error).
 """
 
+import numpy as np
+
 import jax.numpy as jnp
 
 from ..common import vterm as cv
 from .enums import vt_t
 from .state import StaticConfig
+
+# beard77fast sea-level vt cache (reference src/detail/config.hpp:207-210 +
+# init_vterm.ipp): 10k bins in ln(r); on TPU the gather replaces ~20
+# transcendental ops per SD per refresh
+VT0_BINS = 10000
+VT0_LN_R_MIN = float(np.log(0.5e-6))
+VT0_LN_R_MAX = float(np.log(3.5e-3))
+_VT0_TABLE = None
+
+
+def _vt0_table():
+    global _VT0_TABLE
+    if _VT0_TABLE is None:
+        lnr = np.linspace(VT0_LN_R_MIN, VT0_LN_R_MAX, VT0_BINS)
+        _VT0_TABLE = np.asarray(
+            cv.vt_beard77_v0(jnp.asarray(np.exp(lnr)))
+        )
+    return _VT0_TABLE
 
 
 def vt_of(cfg: StaticConfig, rw2, T, p, rhod, eta):
@@ -21,8 +41,16 @@ def vt_of(cfg: StaticConfig, rw2, T, p, rhod, eta):
     formula = vt_t(cfg.terminal_velocity)
     if formula == vt_t.beard76:
         v = cv.vt_beard76(rw, T, p, rhod, eta)
-    elif formula in (vt_t.beard77, vt_t.beard77fast):
+    elif formula == vt_t.beard77:
         v = cv.vt_beard77_fact(rw, p, rhod, eta) * cv.vt_beard77_v0(rw)
+    elif formula == vt_t.beard77fast:
+        # binned sea-level vt0 (get_vt0_bin, hskpng_vterm.ipp:17-35)
+        # times the altitude factor
+        lnr = 0.5 * jnp.log(jnp.maximum(rw2, 1e-300))
+        pos = (lnr - VT0_LN_R_MIN) / (VT0_LN_R_MAX - VT0_LN_R_MIN)
+        idx = jnp.clip((pos * VT0_BINS).astype(jnp.int32), 0, VT0_BINS - 1)
+        vt0 = jnp.asarray(_vt0_table(), rw.dtype)[idx]
+        v = cv.vt_beard77_fact(rw, p, rhod, eta) * vt0
     elif formula == vt_t.khvorostyanov_spherical:
         v = cv.vt_khvorostyanov(rw, T, rhod, eta, spherical=True)
     elif formula == vt_t.khvorostyanov_nonspherical:

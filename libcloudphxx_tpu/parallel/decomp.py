@@ -35,7 +35,8 @@ from ..lgrngn.state import State, StaticConfig
 # SD attributes that migrate between shards — the analog of the
 # distmem_real_vctrs registry (particles_impl.ipp:440-494)
 MIGRATING_ATTRS = ("n", "rd3", "rw2", "kpa", "x", "y", "z", "vt",
-                   "incloud_time", "up", "vp", "wp", "ssp", "dot_ssp")
+                   "incloud_time", "up", "vp", "wp", "ssp", "dot_ssp",
+                   "ice_a", "ice_c", "ice_rho", "T_freeze", "rd2_insol")
 
 
 def local_config(cfg: StaticConfig, n_shards: int) -> StaticConfig:

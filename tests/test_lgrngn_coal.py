@@ -202,3 +202,39 @@ def test_hall_efficiency_table_values():
     b = float(coal_mod.interpolated_efficiency(
         table, r_max, jnp.asarray(20e-6), jnp.asarray(50e-6)))
     assert a == pytest.approx(b, rel=1e-12)
+
+
+def test_recycling_refills_dead_slots():
+    # mirrors reference SD_removal.py/rcyc semantics: equal-multiplicity
+    # collisions leave n=0 slots; opts.rcyc splits large SDs into them,
+    # conserving total multiplicity and mass
+    oi = lgrngn.opts_init_t()
+    oi.dt = 10.0
+    oi.sstp_coal = 10
+    oi.sedi_switch = False
+    oi.dry_distros = {(1e-10, 0.0): expvolumelnr}
+    oi.kernel = lgrngn.kernel_t.golovin
+    oi.kernel_parameters = [B_GOLOVIN]
+    oi.terminal_velocity = lgrngn.vt_t.beard77
+    oi.sd_conc = 512
+    oi.n_sd_max = 512
+    opts = lgrngn.opts_t()
+    opts.adve = opts.sedi = opts.cond = opts.chem_dsl = False
+    opts.coal = True
+    opts.rcyc = True
+    rhod = np.ones(1); th = 300.0*np.ones(1); rv = 0.01*np.ones(1)
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    prtcls.init(th, rv, rhod)
+    n0 = prtcls.get_attr("n")
+    tot0 = n0.sum()
+    mass0 = (n0 * prtcls.get_attr("rw2")**1.5).sum()
+    for _ in range(20):
+        prtcls.step_sync(opts, th, rv, rhod)
+        prtcls.step_async(opts)
+    n1 = prtcls.get_attr("n")
+    mass1 = (n1 * prtcls.get_attr("rw2")**1.5).sum()
+    # multiplicity decreases via coalescence, but recycling keeps the SD
+    # count high (most slots alive) and conserves mass
+    assert (n1 > 0).sum() > 0.9 * 512
+    assert mass1 == pytest.approx(mass0, rel=1e-9)
+    assert n1.sum() < tot0

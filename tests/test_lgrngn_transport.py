@@ -251,3 +251,57 @@ def test_aerosol_source(src_type):
     # concentration doubled in the source cells (source.py gate 1.5%)
     ratio = (mom0[0] + mom0[2]) / (mom0[1] + mom0[3])
     assert abs(ratio - 2.0) < 0.03
+
+
+def test_ccn_relaxation():
+    # mirrors reference tests/python/unit/relax.py: relaxation towards a
+    # doubled-concentration profile creates SDs in the prescribed z range
+    from math import exp, log, sqrt, pi as PI
+
+    def lognormal(lnr):
+        return 60e6 * exp(-(lnr - log(0.02e-6))**2 / 2 / log(1.4)**2) \
+            / log(1.4) / sqrt(2 * PI)
+
+    def lognormal_rlx(lnr):
+        return 120e6 * exp(-(lnr - log(0.02e-6))**2 / 2 / log(1.4)**2) \
+            / log(1.4) / sqrt(2 * PI)
+
+    oi = lgrngn.opts_init_t()
+    oi.dt = 1
+    oi.nx = oi.nz = 2
+    oi.dx = oi.dz = 1.0
+    oi.x1 = oi.z1 = 2.0
+    oi.coal_switch = oi.sedi_switch = False
+    oi.aerosol_independent_of_rhod = True
+    oi.dry_distros = {(0.61, 0.0): lognormal}
+    oi.sd_conc = 128
+    oi.n_sd_max = 4096
+    oi.rlx_switch = True
+    oi.supstp_rlx = 2
+    oi.rlx_bins = 64
+    oi.rlx_sd_per_bin = 1
+    oi.rlx_timescale = 1.0   # instant restoring
+    # relax only in the lower level, same kappa
+    oi.rlx_dry_distros = {0.61: (lognormal_rlx, (0.0, 2.0), (0.0, 1.0))}
+
+    opts = lgrngn.opts_t()
+    opts.adve = opts.sedi = opts.coal = opts.cond = opts.chem_dsl = False
+    opts.rlx = True
+
+    rhod = np.ones((2, 2)); th = 300.0*np.ones((2, 2)); rv = 0.01*np.ones((2, 2))
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    prtcls.init(th, rv, rhod)
+    prtcls.diag_all(); prtcls.diag_wet_mom(0)
+    mom0_before = prtcls.outbuf().copy()
+    for _ in range(4):
+        prtcls.step_sync(opts, th, rv, rhod)
+        prtcls.step_async(opts)
+    prtcls.diag_all(); prtcls.diag_wet_mom(0)
+    mom0_after = prtcls.outbuf().copy()
+    # lower cells (k=0): concentration restored towards the doubled profile
+    low = mom0_after[0] + mom0_after[2]
+    low_before = mom0_before[0] + mom0_before[2]
+    assert low > 1.5 * low_before
+    # upper cells untouched
+    assert mom0_after[1] == pytest.approx(mom0_before[1])
+    assert mom0_after[3] == pytest.approx(mom0_before[3])
