@@ -27,10 +27,15 @@ _VT0_TABLE = None
 def _vt0_table():
     global _VT0_TABLE
     if _VT0_TABLE is None:
-        lnr = np.linspace(VT0_LN_R_MIN, VT0_LN_R_MAX, VT0_BINS)
-        _VT0_TABLE = np.asarray(
-            cv.vt_beard77_v0(jnp.asarray(np.exp(lnr)))
-        )
+        import jax
+
+        # the table is a compile-time constant; build it eagerly even when
+        # first touched from inside a jit trace
+        with jax.ensure_compile_time_eval():
+            lnr = np.linspace(VT0_LN_R_MIN, VT0_LN_R_MAX, VT0_BINS)
+            _VT0_TABLE = np.asarray(
+                cv.vt_beard77_v0(jnp.asarray(np.exp(lnr)))
+            )
     return _VT0_TABLE
 
 
