@@ -381,11 +381,23 @@ def coal_substep(cfg: StaticConfig, state: State, params, dt, key,
     rw2_new = state.rw2.at[small_idx].set(rw2_small_new, mode="drop")
     rd3_new = state.rd3.at[small_idx].set(rd3_small_new, mode="drop")
     kpa_new = state.kpa.at[small_idx].set(kpa_small_new, mode="drop")
+    updates = dict(n=n_new, rw2=rw2_new, rd3=rd3_new, kpa=kpa_new)
+    if cfg.chem_switch:
+        # dissolved chemical masses add up (coal.ipp:459-468 post-summator)
+        chem_small_new = state.chem[:, small] + col_no * state.chem[:, big]
+        updates["chem"] = state.chem.at[:, small_idx].set(
+            chem_small_new, mode="drop"
+        )
+    if cfg.diag_incloud_time:
+        # the merged droplet keeps the longer in-cloud residence
+        # (coal.ipp incloud_time max post-summator)
+        t_max = jnp.maximum(g(state.incloud_time, a), g(state.incloud_time, b))
+        updates["incloud_time"] = state.incloud_time.at[small_idx].set(
+            t_max, mode="drop"
+        )
     # invalidate vt of the grown droplet: recomputed wholesale after the
     # substep (reference marks detail::invalid then hskpng_vterm_invalid)
-    return dataclasses.replace(
-        state, n=n_new, rw2=rw2_new, rd3=rd3_new, kpa=kpa_new
-    )
+    return dataclasses.replace(state, **updates)
 
 
 def coal(cfg: StaticConfig, state: State, params, dt, sstp_coal: int) -> State:

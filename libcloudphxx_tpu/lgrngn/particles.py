@@ -93,6 +93,14 @@ def _tpr_jit(cfg: StaticConfig, state: State):
     return hskpng.hskpng_Tpr(cfg, state)
 
 
+@partial(jax.jit, static_argnums=(0, 3, 4, 5))
+def _step_chem_jit(cfg: StaticConfig, state: State, dt,
+                   do_dsl: bool, do_dsc: bool, do_rct: bool):
+    from . import chemistry
+    state = hskpng.hskpng_Tpr(cfg, state)
+    return chemistry.sstp_chem_loop(cfg, state, dt, do_dsl, do_dsc, do_rct)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def _step_async_jit(cfg: StaticConfig, sstp_coal: int, switches: tuple,
                     state: State, params, w_LS, sgs_mix_len, dt):
@@ -208,6 +216,39 @@ class particles_t:
         return updates
 
     # ------------------------------------------------------------------ init
+    def _chem_updates(self, ambient_chem):
+        """Validate + flatten the {chem_species: array} trace-gas map
+        (reference particles_step.ipp:68-72, :146-153)."""
+        from ..common.chem import chem_gas_n
+        if self.cfg.chem_switch:
+            if not ambient_chem or len(ambient_chem) != chem_gas_n:
+                raise RuntimeError(
+                    "libcloudphxx: chemistry was not switched off and "
+                    "ambient_chem is empty"
+                )
+        elif ambient_chem:
+            raise RuntimeError(
+                "libcloudphxx: chemistry was switched off and ambient_chem "
+                "is not empty"
+            )
+        if not ambient_chem:
+            return None
+        gases = np.zeros((chem_gas_n, self.cfg.n_cell))
+        for key, arr in ambient_chem.items():
+            gases[int(key)] = _as_flat(arr, self.cfg.n_cell,
+                                       f"ambient_chem[{int(key)}]")
+        return jnp.asarray(gases)
+
+    def _chem_sync_out(self, ambient_chem):
+        """Write updated trace-gas mixing ratios back into the host arrays
+        (particles_step.ipp:319-327)."""
+        if not ambient_chem:
+            return
+        dev = np.asarray(self.state.ambient_chem)
+        for key, arr in ambient_chem.items():
+            np.asarray(arr).reshape(-1)[:] = dev[int(key)]
+
+    # ------------------------------------------------------------------ init
     def init(self, th, rv, rhod, p=None, courant_x=None, courant_y=None,
              courant_z=None, ambient_chem=None, Cx=None, Cy=None, Cz=None):
         """(reference src/particles_init.ipp:16-131).  ``Cx``/``Cy``/``Cz``
@@ -255,6 +296,21 @@ class particles_t:
             st = init_mod.init_SD(self.cfg, oi, st, rng, rhod)
             st = init_mod.init_wet(self.cfg, st, oi.RH_max)
 
+        chem_gases = self._chem_updates(ambient_chem)
+        if self.cfg.chem_switch:
+            # initial NH4HSO4 aerosol split (init_chem.ipp:178-225)
+            from . import chemistry
+            st = dataclasses.replace(
+                st,
+                ambient_chem=chem_gases,
+                chem=jnp.where(
+                    st.n > 0,
+                    chemistry.init_chem_aq(st.rd3, self.cfg.chem_rho),
+                    0.0,
+                ),
+            )
+            st = chemistry.sstp_save_chem(st)
+
         st = condensation.sstp_save(st, exact=self.cfg.exact_sstp_cond)
         self.state = st
         self._should_now_run_cond = False
@@ -282,6 +338,10 @@ class particles_t:
             if a is not None:
                 updates[name] = jnp.asarray(a)
         updates.update(self._courant_updates(courant_x, courant_y, courant_z))
+        if self.cfg.chem_switch or ambient_chem:
+            gases = self._chem_updates(ambient_chem)
+            if gases is not None:
+                updates["ambient_chem"] = gases
         if updates:
             self.state = dataclasses.replace(self.state, **updates)
         self._should_now_run_cond = True
@@ -311,6 +371,21 @@ class particles_t:
                 np.asarray(th).reshape(-1)[:] = np.asarray(self.state.th)
             if rv is not None:
                 np.asarray(rv).reshape(-1)[:] = np.asarray(self.state.rv)
+        # chemistry substeps (particles_step.ipp:272-310)
+        do_chem = (opts.chem_dsl or opts.chem_dsc or opts.chem_rct)
+        if do_chem:
+            if not self.cfg.chem_switch:
+                raise RuntimeError(
+                    "libcloudphxx: all chemistry was switched off in "
+                    "opts_init"
+                )
+            self.state = _step_chem_jit(
+                self.cfg, self.state,
+                dt, bool(opts.chem_dsl), bool(opts.chem_dsc),
+                bool(opts.chem_rct),
+            )
+            if opts.chem_dsl:
+                self._chem_sync_out(ambient_chem)
         self._should_now_run_async = True
 
     def step_sync(self, opts: opts_t, th, rv, rhod=None, courant_x=None,
@@ -319,8 +394,8 @@ class particles_t:
         """step_sync = sync_in + step_cond (reference particles_step.ipp:15-29)."""
         self.sync_in(th=th, rv=rv, rhod=rhod, courant_x=courant_x,
                      courant_y=courant_y, courant_z=courant_z,
-                     diss_rate=diss_rate)
-        self.step_cond(opts, th=th, rv=rv)
+                     ambient_chem=ambient_chem, diss_rate=diss_rate)
+        self.step_cond(opts, th=th, rv=rv, ambient_chem=ambient_chem)
 
     def step_async(self, opts: opts_t):
         """Transport phase (reference particles_step.ipp:339-494).
@@ -696,6 +771,20 @@ class particles_t:
         self._check_selected()
         self._set_outbuf(_mass_dens_jit(
             self.cfg, self.state, self._n_filtered, float(rad), float(sig0)
+        ))
+
+    def diag_chem(self, species):
+        """Specific per-cell mass of a dissolved chem species
+        (reference particles_diag.ipp diag_chem + moms_calc over chem_bgn)."""
+        self._require_init()
+        if not self.cfg.chem_switch:
+            raise RuntimeError(
+                "libcloudphxx: all chemistry was switched off in opts_init"
+            )
+        self._check_selected()
+        self._set_outbuf(_moms_calc_jit(
+            self.cfg, self.state, 1.0, self._n_filtered,
+            self.state.chem[int(species)],
         ))
 
     def diag_puddle(self):

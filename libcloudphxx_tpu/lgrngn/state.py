@@ -57,6 +57,11 @@ class StaticConfig:
     rc2_T: float = field(metadata=dict(static=True), default=10.0)
     ice_switch: bool = field(metadata=dict(static=True), default=False)
     time_dep_ice_nucl: bool = field(metadata=dict(static=True), default=False)
+    # aqueous chemistry (reference opts_init.hpp chem_switch/sstp_chem/
+    # chem_rho; src/impl/chemistry/)
+    chem_switch: bool = field(metadata=dict(static=True), default=False)
+    sstp_chem: int = field(metadata=dict(static=True), default=1)
+    chem_rho: float = field(metadata=dict(static=True), default=0.0)
 
     def __hash__(self):
         return hash(tuple(getattr(self, f.name) for f in fields(self)))
@@ -97,6 +102,9 @@ class StaticConfig:
             rc2_T=float(oi.rc2_T),
             ice_switch=bool(oi.ice_switch),
             time_dep_ice_nucl=bool(oi.time_dep_ice_nucl),
+            chem_switch=bool(getattr(oi, "chem_switch", False)),
+            sstp_chem=int(getattr(oi, "sstp_chem", 1)),
+            chem_rho=float(getattr(oi, "chem_rho", 0.0)),
         )
 
 
@@ -158,9 +166,16 @@ class State:
     sstp_tmp_rh: jax.Array
     sstp_tmp_p: jax.Array   # only used in exact const_p mode
 
+    # --- aqueous chemistry (reference particles_impl.ipp chem vectors +
+    # ambient_chem[6]); zero-width when chem_switch is off so non-chem runs
+    # carry no cost
+    chem: jax.Array           # (8, n_sd_max) per-SD aqueous masses [kg]
+    ambient_chem: jax.Array   # (6, n_cell) trace-gas mixing ratios
+    sstp_tmp_chem: jax.Array  # (6, n_cell) chem substepping snapshot
+
     # --- bookkeeping
     key: jax.Array          # jax.random key (run sequence)
-    puddle: jax.Array       # (9,) accumulators keyed by common.output_t
+    puddle: jax.Array       # (15,) accumulators keyed by common.output_t
 
     @property
     def n_sd_max(self):
@@ -172,10 +187,21 @@ class State:
 
 
 # puddle accumulator slots, mirroring common/output.hpp:8-42 output_t
+# (chem species first, exactly as the reference's output_t enum; the final
+# internal slot counts multi-chip migration-buffer overflows and is not part
+# of the public diag_puddle surface)
 PUDDLE_KEYS = (
-    "liq_vol", "dry_vol", "liq_num", "prtcl_num", "ice_mass", "ice_num",
-    "chem_S_VI", "chem_NH4", "chem_NO3",
+    "HNO3", "NH3", "CO2", "SO2", "H2O2", "O3", "S_VI", "H",
+    "liquid_volume", "dry_volume", "particle_number", "ice_mass",
+    "liquid_number", "ice_number",
 )
+OUT_LIQ_VOL = PUDDLE_KEYS.index("liquid_volume")
+OUT_DRY_VOL = PUDDLE_KEYS.index("dry_volume")
+OUT_PRTCL_NUM = PUDDLE_KEYS.index("particle_number")
+OUT_ICE_MASS = PUDDLE_KEYS.index("ice_mass")
+OUT_LIQ_NUM = PUDDLE_KEYS.index("liquid_number")
+OUT_ICE_NUM = PUDDLE_KEYS.index("ice_number")
+OUT_MIGRATION_OVERFLOW = len(PUDDLE_KEYS)  # internal, multi-chip only
 
 
 def empty_state(cfg: StaticConfig, dtype=None) -> State:
@@ -208,6 +234,9 @@ def empty_state(cfg: StaticConfig, dtype=None) -> State:
         sstp_tmp_rv=(zsd if cfg.exact_sstp_cond else zc),
         sstp_tmp_rh=(zsd if cfg.exact_sstp_cond else zc),
         sstp_tmp_p=(zsd if cfg.exact_sstp_cond else jnp.zeros((0,), dtype)),
+        chem=jnp.zeros((8, n_sd if cfg.chem_switch else 0), dtype),
+        ambient_chem=jnp.zeros((6, n_cell if cfg.chem_switch else 0), dtype),
+        sstp_tmp_chem=jnp.zeros((6, n_cell if cfg.chem_switch else 0), dtype),
         key=jax.random.PRNGKey(44),
-        puddle=jnp.zeros((len(PUDDLE_KEYS),), dtype),
+        puddle=jnp.zeros((len(PUDDLE_KEYS) + 1, ), dtype),
     )

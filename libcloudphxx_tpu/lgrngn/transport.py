@@ -184,10 +184,25 @@ def bcnd(cfg: StaticConfig, state: State) -> State:
             dry_vol = jnp.sum(4.0 / 3 * c.pi * nf * state.rd3)
             liq_num = jnp.sum(jnp.where(rw2 > 0, nf, 0.0))
             prtcl_num = jnp.sum(nf)
-            puddle = puddle.at[0].add(liq_vol)
-            puddle = puddle.at[1].add(dry_vol)
-            puddle = puddle.at[2].add(liq_num)
-            puddle = puddle.at[3].add(prtcl_num)
+            from .state import (OUT_DRY_VOL, OUT_ICE_MASS, OUT_ICE_NUM,
+                                OUT_LIQ_NUM, OUT_LIQ_VOL, OUT_PRTCL_NUM)
+            puddle = puddle.at[OUT_LIQ_VOL].add(liq_vol)
+            puddle = puddle.at[OUT_DRY_VOL].add(dry_vol)
+            puddle = puddle.at[OUT_LIQ_NUM].add(liq_num)
+            puddle = puddle.at[OUT_PRTCL_NUM].add(prtcl_num)
+            if cfg.ice_switch:
+                # frozen SDs reaching the ground (bcnd.ipp:301-327)
+                from . import ice as ice_mod
+                frozen = state.ice_a > 0
+                nfi = jnp.where(frozen, nf, 0.0)
+                mass = ice_mod.ice_mass(
+                    state.ice_a, state.ice_c, state.ice_rho)
+                puddle = puddle.at[OUT_ICE_MASS].add(jnp.sum(nfi * mass))
+                puddle = puddle.at[OUT_ICE_NUM].add(jnp.sum(nfi))
+            if cfg.chem_switch:
+                # dissolved chemical masses rain out too (bcnd.ipp:330-340)
+                for s in range(8):
+                    puddle = puddle.at[s].add(jnp.sum(nf * state.chem[s]))
             n = jnp.where(fell, 0.0, n)
 
     return dataclasses.replace(state, x=x, y=y, z=z, n=n, puddle=puddle)

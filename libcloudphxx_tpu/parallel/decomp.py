@@ -121,8 +121,10 @@ def migrate(cfg: StaticConfig, state: State, buf: int,
     state = unpack(state, *recv_from_left)
     state = unpack(state, *recv_from_right)
 
-    # loud overflow accounting (slot 8 reused; asserts in debug flows)
-    puddle = state.puddle.at[8].add((ovf_l + ovf_r).astype(state.puddle.dtype))
+    # loud overflow accounting (the reference hard-asserts buffer sizes)
+    from ..lgrngn.state import OUT_MIGRATION_OVERFLOW
+    puddle = state.puddle.at[OUT_MIGRATION_OVERFLOW].add(
+        (ovf_l + ovf_r).astype(state.puddle.dtype))
     state = dataclasses.replace(state, puddle=puddle)
 
     # re-bin: migrated SDs need local cell ids
@@ -157,15 +159,19 @@ def _bcnd_z_only(cfg: StaticConfig, state: State) -> State:
     puddle = state.puddle
     if cfg.n_dims > 1:
         from ..common import constants as c
+        from ..lgrngn.state import (OUT_DRY_VOL, OUT_LIQ_NUM, OUT_LIQ_VOL,
+                                    OUT_PRTCL_NUM)
         n = jnp.where(z >= cfg.z1, 0.0, n)
         fell = (z < cfg.z0) & (n > 0)
         nf = jnp.where(fell, n, 0.0)
         rw2 = state.rw2
-        puddle = puddle.at[0].add(jnp.sum(
+        puddle = puddle.at[OUT_LIQ_VOL].add(jnp.sum(
             4.0 / 3 * c.pi * nf * rw2 * jnp.sqrt(jnp.maximum(rw2, 0.0))))
-        puddle = puddle.at[1].add(jnp.sum(4.0 / 3 * c.pi * nf * state.rd3))
-        puddle = puddle.at[2].add(jnp.sum(jnp.where(rw2 > 0, nf, 0.0)))
-        puddle = puddle.at[3].add(jnp.sum(nf))
+        puddle = puddle.at[OUT_DRY_VOL].add(
+            jnp.sum(4.0 / 3 * c.pi * nf * state.rd3))
+        puddle = puddle.at[OUT_LIQ_NUM].add(
+            jnp.sum(jnp.where(rw2 > 0, nf, 0.0)))
+        puddle = puddle.at[OUT_PRTCL_NUM].add(jnp.sum(nf))
         n = jnp.where(fell, 0.0, n)
     return dataclasses.replace(state, z=z, n=n, puddle=puddle)
 

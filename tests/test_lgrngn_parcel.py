@@ -139,9 +139,11 @@ def test_api_state_machine_and_diags():
     prtcls.diag_wet_mom(1)
     prtcls.diag_kappa_mom(1)
     puddle = prtcls.diag_puddle()
+    # the reference's output_t key set (common/output.hpp:8-42)
     assert set(puddle) == {
-        "liq_vol", "dry_vol", "liq_num", "prtcl_num", "ice_mass", "ice_num",
-        "chem_S_VI", "chem_NH4", "chem_NO3",
+        "HNO3", "NH3", "CO2", "SO2", "H2O2", "O3", "S_VI", "H",
+        "liquid_volume", "dry_volume", "particle_number", "ice_mass",
+        "liquid_number", "ice_number",
     }
     prtcls.diag_all()
     prtcls.diag_sd_conc()

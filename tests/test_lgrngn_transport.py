@@ -123,13 +123,13 @@ def test_sedimentation_puddle_closure():
     rw2_r = prtcls.get_attr("rw2")
     rd3_r = prtcls.get_attr("rd3")
     # closure: what's in the puddle + what's still airborne == initial totals
-    assert puddle["prtcl_num"] + remaining.sum() == pytest.approx(tot_num)
-    assert puddle["liq_vol"] + (4/3*np.pi*remaining*rw2_r**1.5).sum() == \
+    assert puddle["particle_number"] + remaining.sum() == pytest.approx(tot_num)
+    assert puddle["liquid_volume"] + (4/3*np.pi*remaining*rw2_r**1.5).sum() == \
         pytest.approx(tot_liq_vol, rel=1e-12)
-    assert puddle["dry_vol"] + (4/3*np.pi*remaining*rd3_r).sum() == \
+    assert puddle["dry_volume"] + (4/3*np.pi*remaining*rd3_r).sum() == \
         pytest.approx(tot_dry_vol, rel=1e-12)
     # at least some droplets must have fallen out after 10000 s
-    assert puddle["prtcl_num"] > 0
+    assert puddle["particle_number"] > 0
 
 
 def test_subsidence_shifts_down():

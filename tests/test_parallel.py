@@ -13,7 +13,7 @@ import numpy as np
 import pytest
 
 from libcloudphxx_tpu import lgrngn, parallel
-from libcloudphxx_tpu.lgrngn.state import StaticConfig, empty_state
+from libcloudphxx_tpu.lgrngn.state import OUT_MIGRATION_OVERFLOW, StaticConfig, empty_state
 
 N_DEV = 8
 
@@ -110,7 +110,7 @@ def test_migration_conserves_sds(direction):
     ids1 = np.sort(np.asarray(state.n[state.n > 0]))
     assert (ids0 == ids1).all()
     # overflow counter untouched
-    assert float(jnp.sum(state.puddle[..., 8])) == 0.0
+    assert float(jnp.sum(state.puddle[..., OUT_MIGRATION_OVERFLOW])) == 0.0
     # every SD is back in its original shard at its original local position
     # (a full ring traversal)
     x1 = np.asarray(state.x)[np.asarray(state.n) > 0]
@@ -154,4 +154,4 @@ def test_migration_overflow_is_loud():
         drift_and_migrate, mesh=mesh, in_specs=(spec,), out_specs=spec,
     ))
     out = step(state)
-    assert float(jnp.sum(out.puddle[..., 8])) > 0
+    assert float(jnp.sum(out.puddle[..., OUT_MIGRATION_OVERFLOW])) > 0
