@@ -275,53 +275,80 @@ def kernel_value(cfg: StaticConfig, params, n_a, n_b, rw2_a, rw2_b,
     raise NotImplementedError(f"lgrngn: kernel {kern} not implemented yet")
 
 
+def _shift_up(arr):
+    """arr[i+1] with the last element repeated — a contiguous slice instead
+    of a gather (TPU random-index gathers are scalar-slow)."""
+    return jnp.concatenate([arr[1:], arr[-1:]])
+
+
 def coal_substep(cfg: StaticConfig, state: State, params, dt, key,
                  eff_table=None, r_max_um=0.0) -> State:
     """One coalescence substep over the whole population
-    (reference particles_impl_coal.ipp:273-546)."""
+    (reference particles_impl_coal.ipp:273-546).
+
+    TPU note: the shuffle-sort carries every pair-needed SD attribute as a
+    sort *value* (one multi-operand lax.sort), so the pairing needs no
+    permutation gathers — random-index gathers of (n_sd,) arrays are the
+    single slowest op class on TPU, while values riding the sort network
+    move at sort speed."""
     n_sd = cfg.n_sd_max
     dead = state.n <= 0
-    cellkey = jnp.where(dead, cfg.n_cell, state.ijk)
+    cellkey = jnp.where(dead, jnp.int32(cfg.n_cell),
+                        state.ijk).astype(jnp.int32)
 
     k_shuffle, k_u01 = jax.random.split(key)
     shuffle = jax.random.uniform(k_shuffle, (n_sd,))
-    # random permutation within each cell: lexsort by (cell, random)
-    order = jnp.lexsort((shuffle, cellkey))
-    sijk = cellkey[order]
+    pos = jnp.arange(n_sd, dtype=jnp.int32)
 
-    live = (~dead).astype(state.n.dtype)
-    count = jax.ops.segment_sum(live, cellkey, num_segments=cfg.n_cell + 1)
-    count = count[: cfg.n_cell]
+    # random permutation within each cell: one sort by (cell, random) with
+    # the original index and all pair attributes riding as values
+    carried = (state.n, state.rw2, state.rd3, state.kpa, state.vt)
+    extra = ()
+    if cfg.chem_switch:
+        extra += tuple(state.chem[i] for i in range(8))
+    if cfg.diag_incloud_time:
+        extra += (state.incloud_time,)
+    sorted_ = jax.lax.sort(
+        (cellkey, shuffle, pos) + carried + extra, num_keys=2
+    )
+    sijk, orig = sorted_[0], sorted_[2]
+    n_a, rw2_a, rd3_a, kpa_a, vt_a = sorted_[3:8]
+    extra_a = sorted_[8:]
+
+    # per-cell SD counts and offsets from the sorted keys (binary search
+    # instead of a scatter-add; dead slots sort past all cells)
+    bounds = jnp.searchsorted(
+        sijk, jnp.arange(cfg.n_cell + 1, dtype=sijk.dtype)
+    )
+    count = (bounds[1:] - bounds[:-1]).astype(state.n.dtype)
     # Shima 2009 sec 5.1.3 scale factor n(n-1)/2 / floor(n/2)
     # (coal.ipp:99-107)
     half = jnp.floor(count / 2)
     scale = jnp.where(count > 1, count * (count - 1) / 2.0 / half, 0.0)
-    off = jnp.cumsum(count) - count  # exclusive scan (coal.ipp:313-327)
+    off = bounds[:-1]  # exclusive scan (coal.ipp:313-327)
 
-    pos = jnp.arange(n_sd)
     in_domain = sijk < cfg.n_cell
-    off_here = jnp.where(in_domain, off[jnp.minimum(sijk, cfg.n_cell - 1)], 0)
+    cell = jnp.minimum(sijk, cfg.n_cell - 1)
+    off_here = jnp.where(in_domain, off[cell], 0).astype(pos.dtype)
     cix = pos - off_here
 
     # candidate pairs: even in-cell index, neighbour in the same cell
-    # (coal.ipp:196-216)
-    nxt = jnp.minimum(pos + 1, n_sd - 1)
+    # (coal.ipp:196-216); the neighbour's attributes come from a shift-by-one
+    sijk_nxt = _shift_up(sijk)
     is_pair = (
         (cix % 2 == 0)
         & in_domain
-        & (sijk[nxt] == sijk)
-        & (nxt != pos)
+        & (sijk_nxt == sijk)
+        & (pos < n_sd - 1)
     )
 
-    a = order
-    b = order[nxt]
-    g = lambda arr, idx: arr[idx]
-    n_a, n_b = g(state.n, a), g(state.n, b)
-    rw2_a, rw2_b = g(state.rw2, a), g(state.rw2, b)
-    rd3_a, rd3_b = g(state.rd3, a), g(state.rd3, b)
-    kpa_a, kpa_b = g(state.kpa, a), g(state.kpa, b)
-    vt_a, vt_b = g(state.vt, a), g(state.vt, b)
-    cell = jnp.minimum(sijk, cfg.n_cell - 1)
+    a = orig
+    b = _shift_up(orig)
+    n_b = _shift_up(n_a)
+    rw2_b = _shift_up(rw2_a)
+    rd3_b = _shift_up(rd3_a)
+    kpa_b = _shift_up(kpa_a)
+    vt_b = _shift_up(vt_a)
     dv = state.dv[cell]
 
     K = kernel_value(
@@ -383,15 +410,21 @@ def coal_substep(cfg: StaticConfig, state: State, params, dt, key,
     kpa_new = state.kpa.at[small_idx].set(kpa_small_new, mode="drop")
     updates = dict(n=n_new, rw2=rw2_new, rd3=rd3_new, kpa=kpa_new)
     if cfg.chem_switch:
-        # dissolved chemical masses add up (coal.ipp:459-468 post-summator)
-        chem_small_new = state.chem[:, small] + col_no * state.chem[:, big]
+        # dissolved chemical masses add up (coal.ipp:459-468 post-summator);
+        # the per-species rows rode the sort as values
+        chem_a = jnp.stack(extra_a[0:8])
+        chem_b = jnp.stack([_shift_up(row) for row in extra_a[0:8]])
+        chem_big = jnp.where(a_is_big, chem_a, chem_b)
+        chem_small = jnp.where(a_is_big, chem_b, chem_a)
+        chem_small_new = chem_small + col_no * chem_big
         updates["chem"] = state.chem.at[:, small_idx].set(
             chem_small_new, mode="drop"
         )
     if cfg.diag_incloud_time:
         # the merged droplet keeps the longer in-cloud residence
         # (coal.ipp incloud_time max post-summator)
-        t_max = jnp.maximum(g(state.incloud_time, a), g(state.incloud_time, b))
+        ict_a = extra_a[-1]
+        t_max = jnp.maximum(ict_a, _shift_up(ict_a))
         updates["incloud_time"] = state.incloud_time.at[small_idx].set(
             t_max, mode="drop"
         )
@@ -407,14 +440,37 @@ def coal(cfg: StaticConfig, state: State, params, dt, sstp_coal: int) -> State:
     dt_sub = dt / sstp_coal
     eff_table, r_max_um = load_efficiency_table(kernel_t(cfg.kernel))
 
-    def body(_, carry):
-        st, key = carry
-        key, sub = jax.random.split(key)
-        st = vterm_mod.hskpng_vterm_all(cfg, st)
+    # carry only the attributes coalescence mutates (plus the RNG key);
+    # hauling the whole State through the XLA while loop costs real copies
+    carried = ("n", "rw2", "rd3", "kpa", "vt", "key")
+    if cfg.chem_switch:
+        carried += ("chem",)
+    if cfg.diag_incloud_time:
+        carried += ("incloud_time",)
+    full = state
+    # the ambient cell values seen by each SD are invariant during the
+    # coalescence loop (ijk and th/rv don't change here) — hoist the
+    # cell->SD gathers of the vterm refresh out of the substep loop
+    ijk = state.ijk
+    T_sd, p_sd = state.T[ijk], state.p[ijk]
+    rhod_sd, eta_sd = state.rhod[ijk], state.eta[ijk]
+
+    def body(_, mini):
+        st = dataclasses.replace(full, **{k: mini[k] for k in carried
+                                          if k != "key"})
+        key, sub = jax.random.split(mini["key"])
+        # hskpng_vterm_invalid equivalent: refresh vt from the current rw2
+        vt = vterm_mod.vt_of(cfg, st.rw2, T_sd, p_sd, rhod_sd, eta_sd)
+        st = dataclasses.replace(st, vt=vt)
         st = coal_substep(cfg, st, params, dt_sub, sub,
                           eff_table=eff_table, r_max_um=r_max_um)
-        return st, key
+        out = {k: getattr(st, k) for k in carried if k != "key"}
+        out["key"] = key
+        return out
 
-    state, key = jax.lax.fori_loop(0, sstp_coal, body, (state, state.key))
-    state = vterm_mod.hskpng_vterm_all(cfg, state)
-    return dataclasses.replace(state, key=key)
+    mini = jax.lax.fori_loop(
+        0, sstp_coal, body, {k: getattr(state, k) for k in carried}
+    )
+    state = dataclasses.replace(state, **mini)
+    vt = vterm_mod.vt_of(cfg, state.rw2, T_sd, p_sd, rhod_sd, eta_sd)
+    return dataclasses.replace(state, vt=vt)

@@ -117,7 +117,13 @@ def cond_percell(cfg: StaticConfig, state: State, dt, RH_max,
 
     th/rv advance from their pre-sync values in sstp_cond equal increments of
     the host-model (advective) delta, interleaved with implicit droplet growth
-    and per-cell latent heating."""
+    and per-cell latent heating.
+
+    TPU notes: the substep loop carries only the arrays that change (rw2 and
+    the cell thermodynamics + SGS state) rather than the whole State pytree,
+    and the per-cell liquid-water change is one segment-sum of the per-SD
+    rw^3 difference instead of two full third moments — the difference form
+    also avoids the f32 cancellation of two nearly equal big sums."""
     sstp = cfg.sstp_cond
     dt_sub = dt / sstp
 
@@ -139,8 +145,29 @@ def cond_percell(cfg: StaticConfig, state: State, dt, RH_max,
         )
 
     lambda_D, lambda_K = hskpng.hskpng_mfp(state.T, state.p)
+    # loop invariants hoisted out of the substep loop (XLA does not move
+    # gathers out of while loops): per-SD dry attributes and cell constants
+    ijk = state.ijk
+    rhod_sd = state.rhod[ijk]
+    lam_D_sd = lambda_D[ijk]
+    lam_K_sd = lambda_K[ijk]
+    wgt = state.n * (4.0 / 3) * c.pi * c.rho_w / (
+        (state.dv * state.rhod)[ijk] if cfg.n_dims > 0
+        else state.rhod[ijk] * state.dv[ijk]
+    )
 
-    def substep(_, st):
+    if not cfg.ice_switch:
+        # fast path: run the substep loop in cell-sorted SD order, so the
+        # per-cell liquid-water sum is a cumsum + boundary difference instead
+        # of a scatter-add (TPU scatters cost ~8x a sort pass); one sort in,
+        # one inverse sort out for the single mutated per-SD array (rw2)
+        return _cond_percell_sorted(
+            cfg, state, dt_sub, sstp, RH_max, turb_cond,
+            delta_th, delta_rv, rhod_sd, lam_D_sd, lam_K_sd, wgt,
+        )
+
+    def substep(_, carry):
+        st = carry
         st = dataclasses.replace(
             st, th=st.th + delta_th / sstp, rv=st.rv + delta_rv / sstp
         )
@@ -152,21 +179,25 @@ def cond_percell(cfg: StaticConfig, state: State, dt, RH_max,
             st = turb_mod.apply_sgs_supersat(st, dt_sub)
         st = hskpng.hskpng_Tpr(cfg, st)
 
-        mom3_before = _specific_mom3(cfg, st)
-        g = lambda arr: arr[st.ijk]  # cell -> SD gather
+        g = lambda arr: arr[ijk]  # cell -> SD gather
         RH_sd = g(st.RH) + (st.ssp if turb_cond else 0.0)
+        rw2_old = st.rw2
         rw2_new = advance_rw2(
-            dt_sub, st.rw2, st.rd3, st.kpa, st.vt,
-            g(st.rhod), g(st.rv), g(st.T), g(st.p), RH_sd, g(st.eta),
-            g(lambda_D), g(lambda_K), RH_max,
+            dt_sub, rw2_old, st.rd3, st.kpa, st.vt,
+            rhod_sd, g(st.rv), g(st.T), g(st.p), RH_sd, g(st.eta),
+            lam_D_sd, lam_K_sd, RH_max,
         )
         st = dataclasses.replace(st, rw2=rw2_new)
-        mom3_after = _specific_mom3(cfg, st)
 
-        # latent heating per cell (particles_impl_update_th_rv.ipp:90-180)
-        drv = (mom3_after - mom3_before) * (4.0 / 3) * c.pi * c.rho_w
-        rv_new = st.rv - drv
-        th_new = st.th - drv * theta_dry.d_th_d_rv(st.T, st.th)
+        # latent heating per cell from the summed per-SD rw^3 change
+        # (particles_impl_cond.ipp:105-135 + update_th_rv.ipp:90-180)
+        drw3 = rw2_new * jnp.sqrt(rw2_new) - rw2_old * jnp.sqrt(
+            jnp.maximum(rw2_old, 0.0))
+        drv = -jax.ops.segment_sum(
+            wgt * drw3, ijk, num_segments=cfg.n_cell
+        )
+        rv_new = st.rv + drv
+        th_new = st.th + drv * theta_dry.d_th_d_rv(st.T, st.th)
         st = dataclasses.replace(st, th=th_new, rv=rv_new)
         if cfg.ice_switch:
             # depositional growth of ice each substep (particles_step.ipp:
@@ -175,7 +206,88 @@ def cond_percell(cfg: StaticConfig, state: State, dt, RH_max,
             st = ice_mod.ice_dep_substep(cfg, st, dt_sub, RH_max)
         return st
 
-    return jax.lax.fori_loop(0, sstp, substep, state)
+    # carry only what the loop mutates: rw2 + cell thermodynamics (+ SGS ssp)
+    carried = ("rw2", "th", "rv", "T", "p", "RH", "eta", "dv", "ssp",
+               "dot_ssp", "key")
+    if cfg.ice_switch:
+        carried += ("ice_a", "ice_c", "ice_rho")
+    full = state
+
+    def substep_mini(i, mini):
+        st = dataclasses.replace(full, **mini)
+        st = substep(i, st)
+        return {k: getattr(st, k) for k in carried}
+
+    mini = jax.lax.fori_loop(
+        0, sstp, substep_mini, {k: getattr(state, k) for k in carried}
+    )
+    return dataclasses.replace(state, **mini)
+
+
+def _cond_percell_sorted(cfg, state, dt_sub, sstp, RH_max, turb_cond,
+                         delta_th, delta_rv, rhod_sd, lam_D_sd, lam_K_sd,
+                         wgt):
+    """Sorted-space body of cond_percell: identical physics, with the SD
+    population traversed in cell order so the per-cell reduction is a
+    segmented cumsum."""
+    ijk = state.ijk
+    n_sd = ijk.shape[0]
+    pos = jnp.arange(n_sd, dtype=jnp.int32)
+
+    payload = (state.rw2, state.rd3, state.kpa, state.vt,
+               rhod_sd, lam_D_sd, lam_K_sd, wgt)
+    if turb_cond:
+        payload += (state.ssp, state.dot_ssp)
+    sorted_ = jax.lax.sort((ijk, pos) + payload, num_keys=1)
+    sijk, pos_s = sorted_[0], sorted_[1]
+    (rw2_s, rd3_s, kpa_s, vt_s, rhod_s, lamD_s, lamK_s, wgt_s
+     ) = sorted_[2:10]
+    ssp_s = sorted_[10] if turb_cond else jnp.zeros(())
+    dssp_s = sorted_[11] if turb_cond else jnp.zeros(())
+
+    # last sorted index of each cell (cells are contiguous runs)
+    ends = jnp.searchsorted(sijk, jnp.arange(1, cfg.n_cell + 1,
+                                             dtype=sijk.dtype)) - 1
+
+    def cell_sum(vals):
+        cs = jnp.cumsum(vals)
+        tot = jnp.where(ends >= 0, cs[jnp.maximum(ends, 0)], 0.0)
+        return jnp.diff(tot, prepend=jnp.zeros((1,), tot.dtype))
+
+    def substep(_, carry):
+        rw2c, th, rv, ssp = carry
+        th = th + delta_th / sstp
+        rv = rv + delta_rv / sstp
+        if turb_cond:
+            ssp = ssp + dt_sub * dssp_s
+        stt = hskpng.hskpng_Tpr(cfg, dataclasses.replace(
+            state, th=th, rv=rv))
+        g = lambda arr: arr[sijk]
+        RH_sd = g(stt.RH) + (ssp if turb_cond else 0.0)
+        rw2_new = advance_rw2(
+            dt_sub, rw2c, rd3_s, kpa_s, vt_s,
+            rhod_s, g(stt.rv), g(stt.T), g(stt.p), RH_sd, g(stt.eta),
+            lamD_s, lamK_s, RH_max,
+        )
+        drw3 = rw2_new * jnp.sqrt(rw2_new) - rw2c * jnp.sqrt(
+            jnp.maximum(rw2c, 0.0))
+        drv = -cell_sum(wgt_s * drw3)
+        rv = stt.rv + drv
+        th = stt.th + drv * theta_dry.d_th_d_rv(stt.T, stt.th)
+        return (rw2_new, th, rv, ssp)
+
+    rw2_s, th, rv, ssp_s = jax.lax.fori_loop(
+        0, sstp, substep, (rw2_s, state.th, state.rv, ssp_s)
+    )
+
+    # restore original SD order for the mutated per-SD arrays
+    restore = (pos_s, rw2_s) + ((ssp_s,) if turb_cond else ())
+    restored = jax.lax.sort(restore, num_keys=1)
+    updates = dict(rw2=restored[1], th=th, rv=rv)
+    if turb_cond:
+        updates["ssp"] = restored[2]
+    state = dataclasses.replace(state, **updates)
+    return hskpng.hskpng_Tpr(cfg, state)
 
 
 def sstp_save(state: State, exact: bool = False) -> State:

@@ -773,6 +773,28 @@ class particles_t:
             self.cfg, self.state, self._n_filtered, float(rad), float(sig0)
         ))
 
+    def diag_up_mom(self, n):
+        """Moment of the SGS x-velocity perturbation
+        (reference particles.hpp:117)."""
+        self._check_selected()
+        self._set_outbuf(_moms_calc_jit(
+            self.cfg, self.state, float(n), self._n_filtered, self.state.up,
+        ))
+
+    def diag_vp_mom(self, n):
+        """(reference particles.hpp:118)"""
+        self._check_selected()
+        self._set_outbuf(_moms_calc_jit(
+            self.cfg, self.state, float(n), self._n_filtered, self.state.vp,
+        ))
+
+    def diag_wp_mom(self, n):
+        """(reference particles.hpp:119)"""
+        self._check_selected()
+        self._set_outbuf(_moms_calc_jit(
+            self.cfg, self.state, float(n), self._n_filtered, self.state.wp,
+        ))
+
     def diag_chem(self, species):
         """Specific per-cell mass of a dissolved chem species
         (reference particles_diag.ipp diag_chem + moms_calc over chem_bgn)."""
@@ -799,17 +821,30 @@ class particles_t:
         return np.ascontiguousarray(self._outbuf)
 
     def get_attr(self, name):
-        """Raw per-SD attribute dump (reference fill_outbuf.ipp:39-100)."""
+        """Raw per-SD attribute dump (reference fill_outbuf.ipp:39-100;
+        attr name set :42, with the reference's "kappa" spelling alongside
+        the internal "kpa")."""
         self._require_init()
         mapping = {
             "rd3": self.state.rd3, "rw2": self.state.rw2,
-            "kpa": self.state.kpa, "n": self.state.n,
+            "kpa": self.state.kpa, "kappa": self.state.kpa,
+            "n": self.state.n,
             "x": self.state.x, "y": self.state.y, "z": self.state.z,
             "vt": self.state.vt,
             "incloud_time": self.state.incloud_time,
+            "rd2_insol": self.state.rd2_insol,
+            "T_freeze": self.state.T_freeze,
+            "ice_a": self.state.ice_a, "ice_c": self.state.ice_c,
+            "ice_rho": self.state.ice_rho,
+            "up": self.state.up, "vp": self.state.vp, "wp": self.state.wp,
         }
         if name not in mapping:
             raise ValueError(f"lgrngn: unknown attribute {name!r}")
+        ice_attrs = {"ice_a", "ice_c", "ice_rho", "rd2_insol", "T_freeze"}
+        if name in ice_attrs and not self.opts_init.ice_switch:
+            raise RuntimeError(
+                "libcloudphxx: ice attribute requested with ice_switch off"
+            )
         return np.asarray(mapping[name])
 
 
