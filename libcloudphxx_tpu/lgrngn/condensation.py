@@ -425,3 +425,213 @@ def cond_perparticle(cfg: StaticConfig, state: State, dt, RH_max,
         th_new = state.th - drv * theta_dry.d_th_d_rv(state.T, state.th)
         state = dataclasses.replace(state, rv=rv_new, th=th_new)
     return state
+
+
+def _perparticle_thermo(cfg, tmp_th, tmp_rv, tmp_rh, tmp_p, ssp, turb_cond):
+    """Per-SD thermodynamic closure from private ambient state
+    (reference perparticle_nomixing_adaptive_sstp_cond.ipp:93-120:
+    _calc_Tp/_calc_sstp_tmp_p/_calc_RH)."""
+    from ..common import mean_free_path as mfp
+    from ..common import theta_std
+    from ..common import vterm as cv
+    from . import hskpng as hskpng_mod
+
+    if cfg.th_dry:
+        Tp = theta_dry.T(tmp_th, jnp.maximum(tmp_rh, 1e-10))
+    else:
+        Tp = tmp_th * theta_std.exner(jnp.maximum(tmp_p, 1.0))
+    pp = tmp_p if cfg.const_p else theta_dry.p(tmp_rh, tmp_rv, Tp)
+    RHp = hskpng_mod.RH_of(cfg, jnp.maximum(pp, 1.0), tmp_rv, Tp)
+    if turb_cond:
+        RHp = RHp + ssp
+    lam_D = mfp.lambda_D(Tp)
+    lam_K = mfp.lambda_K(Tp, jnp.maximum(pp, 1.0))
+    eta_p = cv.visc(Tp)
+    return Tp, pp, RHp, eta_p, lam_D, lam_K
+
+
+def cond_perparticle_adaptive(cfg: StaticConfig, state: State, dt, RH_max,
+                              turb_cond: bool = False) -> State:
+    """Adaptive per-SD condensation substepping, no in-cell mixing
+    (reference perparticle_nomixing_adaptive_sstp_cond.ipp:8-335, driven
+    from particles_step.ipp:199-218).
+
+    Phase A (adaptation): per SD, try sstp = 1, 2, 4, ... <= sstp_cond;
+    accept the first count whose d(rw^2) over one substep agrees with the
+    half-size estimate to within sstp_cond_adapt_drw2_eps * rw2 (and whose
+    magnitude stays below sstp_cond_adapt_drw2_max * rw2 — large-growth
+    guard near activation, reference :168-177).  SDs that cross their
+    critical radius in this step are overridden to sstp_cond_act substeps
+    (:184-195).
+
+    Phase B: every SD runs its own substep count inside one shared
+    fixed-bound loop (masked lanes — on TPU all lanes share one
+    instruction stream, the reference's single-fused-loop rationale
+    :212-214 holds even more strongly here).  Ambient th/rv/rhod/p feed in
+    per-substep increments; drw^3 drives the SD-private rv/theta
+    (nomixing); the per-cell closure comes from the total liquid-content
+    change, as apply_perparticle_cond_change_to_percell_rv_and_th does.
+
+    Deviation from the reference: where the adaptation is abandoned
+    (activation override / no convergence) we restore the exact saved
+    pre-adaptation ambient state instead of replaying signed delta
+    fractions (reference :197-200 is only exact for power-of-two
+    sstp_cond)."""
+    sstp_max = max(int(cfg.sstp_cond), 1)
+    sstp_act = max(int(cfg.sstp_cond_act), 1)
+    eps = cfg.sstp_cond_adapt_drw2_eps
+    dmax = cfg.sstp_cond_adapt_drw2_max
+
+    g = lambda arr: arr[state.ijk]
+    # whole-step ambient deltas (calculate_noncond_perparticle_sstp_delta)
+    dlt_rv = g(state.rv) - state.sstp_tmp_rv
+    dlt_th = g(state.th) - state.sstp_tmp_th
+    dlt_rh = g(state.rhod) - state.sstp_tmp_rh
+    dlt_p = (g(state.p) - state.sstp_tmp_p) if cfg.const_p else 0.0
+
+    live = state.n > 0
+    dv_sd = g(state.dv)
+    dot_ssp = state.dot_ssp if turb_cond else 0.0
+
+    tmp_rv0, tmp_th0 = state.sstp_tmp_rv, state.sstp_tmp_th
+    tmp_rh0 = state.sstp_tmp_rh
+    tmp_p0 = state.sstp_tmp_p if cfg.const_p else jnp.zeros_like(tmp_rv0)
+    ssp0 = state.ssp if turb_cond else jnp.zeros_like(tmp_rv0)
+
+    def grow(tmp_rv, tmp_th, tmp_rh, tmp_p, ssp, rw2, dt_sub):
+        Tp, pp, RHp, eta_p, lam_D, lam_K = _perparticle_thermo(
+            cfg, tmp_th, tmp_rv, tmp_rh, tmp_p, ssp, turb_cond
+        )
+        rw2_new = advance_rw2(
+            dt_sub, rw2, state.rd3, state.kpa, state.vt,
+            tmp_rh, tmp_rv, Tp, pp, RHp, eta_p, lam_D, lam_K, RH_max,
+        )
+        return rw2_new, Tp
+
+    # ---- phase A: pick per-SD substep counts (reference :130-201)
+    tries = [1]
+    while tries[-1] * 2 <= sstp_max:
+        tries.append(tries[-1] * 2)
+
+    tmp_rv, tmp_th, tmp_rh, tmp_p, ssp = (
+        tmp_rv0, tmp_th0, tmp_rh0, tmp_p0, ssp0
+    )
+    sstp = jnp.full_like(state.ijk, sstp_max)
+    done = jnp.zeros_like(live, dtype=bool)
+    first_done = jnp.full_like(done, sstp_max == 1)
+    drw2 = jnp.zeros_like(tmp_rv)
+
+    for t in tries:
+        mult = 1.0 if t == 1 else -1.0 / t
+        upd = ~done
+        tmp_rv = jnp.where(upd, tmp_rv + dlt_rv * mult, tmp_rv)
+        tmp_th = jnp.where(upd, tmp_th + dlt_th * mult, tmp_th)
+        tmp_rh = jnp.where(upd, tmp_rh + dlt_rh * mult, tmp_rh)
+        if cfg.const_p:
+            tmp_p = jnp.where(upd, tmp_p + dlt_p * mult, tmp_p)
+        if turb_cond:
+            ssp = jnp.where(upd, ssp + dot_ssp * dt * mult, ssp)
+
+        rw2_t, _ = grow(tmp_rv, tmp_th, tmp_rh, tmp_p, ssp,
+                        state.rw2, dt / t)
+        drw2_t = rw2_t - state.rw2
+
+        if t == 1:
+            drw2 = drw2_t
+            continue
+        conv = (
+            (jnp.abs(drw2_t * 2 - drw2) <= eps * state.rw2)
+            & (jnp.abs(drw2) < dmax * state.rw2)
+        )
+        newly = conv & ~done
+        sstp = jnp.where(newly, t // 2, sstp)
+        # revert last delta addition -> state after one converged substep
+        tmp_rv = jnp.where(newly, tmp_rv - dlt_rv * mult, tmp_rv)
+        tmp_th = jnp.where(newly, tmp_th - dlt_th * mult, tmp_th)
+        tmp_rh = jnp.where(newly, tmp_rh - dlt_rh * mult, tmp_rh)
+        if cfg.const_p:
+            tmp_p = jnp.where(newly, tmp_p - dlt_p * mult, tmp_p)
+        if turb_cond:
+            ssp = jnp.where(newly, ssp - dot_ssp * dt * mult, ssp)
+        first_done = first_done | newly
+        done = done | newly
+        drw2 = jnp.where(done, drw2, drw2_t)
+
+    # activation/deactivation override (reference :184-195)
+    if sstp_act > 1:
+        rc2 = kappa_koehler.rw3_cr(
+            jnp.maximum(state.rd3, 1e-300),
+            jnp.maximum(state.kpa, 1e-10),
+            state.T[state.ijk],
+        ) ** (2.0 / 3)
+        proj = state.rw2 + sstp * drw2
+        crossing = ((state.rw2 < rc2) & (proj > rc2)) | (
+            (state.rw2 > rc2) & (proj < rc2))
+        sstp = jnp.where(crossing, sstp_act, sstp)
+        first_done = first_done & ~crossing
+
+    # abandonment: restore pristine pre-adaptation ambient state
+    tmp_rv = jnp.where(first_done, tmp_rv, tmp_rv0)
+    tmp_th = jnp.where(first_done, tmp_th, tmp_th0)
+    tmp_rh = jnp.where(first_done, tmp_rh, tmp_rh0)
+    tmp_p = jnp.where(first_done, tmp_p, tmp_p0)
+    if turb_cond:
+        ssp = jnp.where(first_done, ssp, ssp0)
+
+    # ---- phase B: masked substepping (reference :206-263)
+    mom3_before = _specific_mom3(cfg, state)
+    n_steps = max(sstp_max, sstp_act)
+    mlt = -(4.0 / 3) * c.pi * c.rho_w
+
+    def substep(step, carry):
+        rw2, tmp_rv, tmp_th, tmp_rh, tmp_p, ssp = carry
+        active = (step < sstp) & live
+        frac = 1.0 / sstp
+        reuse = first_done & (step == 0)
+        app = active & ~reuse
+
+        tmp_rv_n = jnp.where(app, tmp_rv + dlt_rv * frac, tmp_rv)
+        tmp_th_n = jnp.where(app, tmp_th + dlt_th * frac, tmp_th)
+        tmp_rh_n = jnp.where(app, tmp_rh + dlt_rh * frac, tmp_rh)
+        tmp_p_n = (jnp.where(app, tmp_p + dlt_p * frac, tmp_p)
+                   if cfg.const_p else tmp_p)
+        ssp_n = (jnp.where(app, ssp + dot_ssp * dt * frac, ssp)
+                 if turb_cond else ssp)
+
+        rw2_solve, Tp = grow(tmp_rv_n, tmp_th_n, tmp_rh_n, tmp_p_n, ssp_n,
+                             rw2, dt * frac)
+        rw2_new = jnp.where(reuse, rw2 + drw2, rw2_solve)
+        rw2_new = jnp.where(active, rw2_new, rw2)
+
+        rw3_old = rw2 * jnp.sqrt(jnp.maximum(rw2, 0.0))
+        rw3_new = rw2_new * jnp.sqrt(jnp.maximum(rw2_new, 0.0))
+        drw3 = jnp.where(active, rw3_new - rw3_old, 0.0)
+        if cfg.n_dims > 0:
+            drv = mlt * drw3 * state.n / tmp_rh_n / dv_sd
+        else:
+            drv = mlt * drw3 * state.n  # parcel: 1 kg dry air
+        tmp_rv_n = tmp_rv_n + drv
+        tmp_th_n = tmp_th_n + drv * theta_dry.d_th_d_rv(Tp, tmp_th_n)
+        return (rw2_new, tmp_rv_n, tmp_th_n, tmp_rh_n, tmp_p_n, ssp_n)
+
+    rw2, tmp_rv, tmp_th, tmp_rh, tmp_p, ssp = jax.lax.fori_loop(
+        0, n_steps, substep,
+        (state.rw2, tmp_rv, tmp_th, tmp_rh, tmp_p, ssp),
+    )
+
+    new_fields = dict(
+        rw2=rw2, sstp_tmp_rv=tmp_rv, sstp_tmp_th=tmp_th, sstp_tmp_rh=tmp_rh,
+    )
+    if cfg.const_p:
+        new_fields["sstp_tmp_p"] = tmp_p
+    if turb_cond:
+        new_fields["ssp"] = ssp
+    state = dataclasses.replace(state, **new_fields)
+
+    # per-cell closure from the total liquid-content change
+    # (apply_perparticle_cond_change_to_percell_rv_and_th)
+    mom3_after = _specific_mom3(cfg, state)
+    drv_cell = (mom3_after - mom3_before) * (4.0 / 3) * c.pi * c.rho_w
+    rv_new = state.rv - drv_cell
+    th_new = state.th - drv_cell * theta_dry.d_th_d_rv(state.T, state.th)
+    return dataclasses.replace(state, rv=rv_new, th=th_new)

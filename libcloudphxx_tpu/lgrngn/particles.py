@@ -65,11 +65,16 @@ def _step_cond_jit(cfg: StaticConfig, state: State, dt, RH_max,
         state = hskpng.hskpng_Tpr(cfg, state)
     if not do_cond:
         return state
-    if cfg.exact_sstp_cond and cfg.sstp_cond > 1:
+    if cfg.exact_sstp_cond and (cfg.sstp_cond > 1 or cfg.sstp_cond_act > 1):
         # exact per-particle substepping (particles_step.ipp:199-236)
-        state = condensation.cond_perparticle(
-            cfg, state, dt, RH_max, turb_cond=turb_cond
-        )
+        if cfg.adaptive_sstp_cond:
+            state = condensation.cond_perparticle_adaptive(
+                cfg, state, dt, RH_max, turb_cond=turb_cond
+            )
+        else:
+            state = condensation.cond_perparticle(
+                cfg, state, dt, RH_max, turb_cond=turb_cond
+            )
         state = condensation.sstp_save(state, exact=True)
         return state
     if cfg.diag_incloud_time:

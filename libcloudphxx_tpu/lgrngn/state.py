@@ -62,6 +62,18 @@ class StaticConfig:
     chem_switch: bool = field(metadata=dict(static=True), default=False)
     sstp_chem: int = field(metadata=dict(static=True), default=1)
     chem_rho: float = field(metadata=dict(static=True), default=0.0)
+    # adaptive per-SD condensation substepping
+    # (reference opts_init.hpp adaptive_sstp_cond/sstp_cond_act/
+    # sstp_cond_adapt_drw2_{eps,max};
+    # src/impl/condensation/perparticle/
+    # perparticle_nomixing_adaptive_sstp_cond.ipp)
+    adaptive_sstp_cond: bool = field(metadata=dict(static=True),
+                                     default=False)
+    sstp_cond_act: int = field(metadata=dict(static=True), default=1)
+    sstp_cond_adapt_drw2_eps: float = field(metadata=dict(static=True),
+                                            default=1e-4)
+    sstp_cond_adapt_drw2_max: float = field(metadata=dict(static=True),
+                                            default=4.0)
 
     def __hash__(self):
         return hash(tuple(getattr(self, f.name) for f in fields(self)))
@@ -105,6 +117,12 @@ class StaticConfig:
             chem_switch=bool(getattr(oi, "chem_switch", False)),
             sstp_chem=int(getattr(oi, "sstp_chem", 1)),
             chem_rho=float(getattr(oi, "chem_rho", 0.0)),
+            adaptive_sstp_cond=bool(getattr(oi, "adaptive_sstp_cond", False)),
+            sstp_cond_act=int(getattr(oi, "sstp_cond_act", 1)),
+            sstp_cond_adapt_drw2_eps=float(
+                getattr(oi, "sstp_cond_adapt_drw2_eps", 1e-4)),
+            sstp_cond_adapt_drw2_max=float(
+                getattr(oi, "sstp_cond_adapt_drw2_max", 4.0)),
         )
 
 

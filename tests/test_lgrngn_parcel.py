@@ -264,3 +264,63 @@ def test_extended_diags():
     oi2 = make_opts_init()
     p2 = lgrngn.factory(lgrngn.backend_t.serial, oi2)
     p2.init(np.array([1.]), np.array([300.]), np.array([1.]))
+
+
+def _run_parcel(oi, nsteps=40):
+    opts = make_opts()
+    rhod = np.array([1.0]); th = np.array([300.0]); rv = np.array([0.02])
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    prtcls.init(th, rv, rhod)
+    for _ in range(nsteps):
+        prtcls.step_sync(opts, th, rv, rhod)
+        prtcls.step_async(opts)
+    return prtcls, th, rv
+
+
+def _run_cycle(oi):
+    # condense for 40 steps, then force evaporation (the substepping stress
+    # test of reference lgrngn_cond.py:141-170) and return |th - th_init|
+    opts = make_opts()
+    rhod = np.array([1.0]); th = np.array([300.0]); rv = np.array([0.02])
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    prtcls.init(th, rv, rhod)
+    th_init = th.copy()
+    for _ in range(40):
+        prtcls.step_sync(opts, th, rv, rhod)
+        prtcls.step_async(opts)
+    rv[0] = 0.002
+    for _ in range(40):
+        prtcls.step_sync(opts, th, rv, rhod)
+        prtcls.step_async(opts)
+    return abs(th[0] - th_init[0])
+
+
+def test_adaptive_perparticle_substepping():
+    # adaptive per-SD substepping (reference
+    # perparticle_nomixing_adaptive_sstp_cond.ipp): must land close to the
+    # fixed exact per-particle max-substep result...
+    oi_ref = make_opts_init(sstp_cond=16, exact_sstp_cond=True)
+    _, th_ref, rv_ref = _run_parcel(oi_ref)
+    oi_ad = make_opts_init(
+        sstp_cond=16, exact_sstp_cond=True, adaptive_sstp_cond=True,
+        sstp_cond_act=16,
+    )
+    _, th_ad, rv_ad = _run_parcel(oi_ad)
+    assert abs(rv_ad[0] - rv_ref[0]) < 2e-5
+    assert abs(th_ad[0] - th_ref[0]) < 6e-3
+
+    # ...and cut the condense+evaporate cycle theta error well below the
+    # unsubstepped run's gate (reference lgrngn_cond.py:167-170: 4.2e-2 for
+    # sstp=1 vs 4.2e-3 for sstp=10): adaptation must engage on the
+    # evaporation shock
+    err_1 = _run_cycle(make_opts_init(sstp_cond=1))
+    err_ad = _run_cycle(oi_ad)
+    assert err_ad < err_1 / 3
+    assert err_ad < 1.2e-2
+
+    # closure: vapour lost == liquid gained (per-cell closure of the
+    # nomixing path)
+    prtcls, th, rv = _run_parcel(oi_ad, nsteps=40)
+    prtcls.diag_all(); prtcls.diag_wet_mom(3)
+    liq = prtcls.outbuf()[0] * (4.0 / 3) * np.pi * 1e3
+    assert abs((0.02 - rv[0]) - liq) < 1e-6
