@@ -421,10 +421,38 @@ def cond_perparticle(cfg: StaticConfig, state: State, dt, RH_max,
         # cell-level closure from the total liquid-content change
         mom3_after = _specific_mom3(cfg, state)
         drv = (mom3_after - mom3_before) * (4.0 / 3) * c.pi * c.rho_w
-        rv_new = state.rv - drv
-        th_new = state.th - drv * theta_dry.d_th_d_rv(state.T, state.th)
-        state = dataclasses.replace(state, rv=rv_new, th=th_new)
+        state = _apply_drv_to_cell_th_rv(cfg, state, drv)
     return state
+
+
+def _apply_drv_to_cell_th_rv(cfg, state, drv):
+    """Per-cell closure for the nomixing per-particle paths: rv -= drv and
+    theta integrated along the drv path (dtheta/drv = d_th_d_rv(T(theta),
+    theta), one RK4 stage per cell — O(drv^5) error).
+
+    Deviation from the reference: update_th_rv
+    (particles_impl_update_th_rv.ipp) applies the whole-step latent heating
+    with a single d_th_d_rv evaluation, an O(drv^2) linearization that the
+    per-particle substepping cannot reduce (the percell path avoids it by
+    running update_th_rv every substep, particles_step.ipp:258); the exact
+    path integration keeps the "exact" modes exact."""
+    from ..common import theta_std
+
+    if cfg.th_dry:
+        f = lambda th: theta_dry.d_th_d_rv(
+            theta_dry.T(th, jnp.maximum(state.rhod, 1e-10)), th)
+    else:
+        ex = theta_std.exner(jnp.maximum(state.p, 1.0))
+        f = lambda th: theta_dry.d_th_d_rv(th * ex, th)
+
+    th = state.th
+    h = -drv  # dtheta = f(theta) * d(-drv_applied)... sign: th += f*(-drv)
+    k1 = f(th)
+    k2 = f(th + 0.5 * h * k1)
+    k3 = f(th + 0.5 * h * k2)
+    k4 = f(th + h * k3)
+    th_new = th + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
+    return dataclasses.replace(state, rv=state.rv - drv, th=th_new)
 
 
 def _perparticle_thermo(cfg, tmp_th, tmp_rv, tmp_rh, tmp_p, ssp, turb_cond):
@@ -632,6 +660,4 @@ def cond_perparticle_adaptive(cfg: StaticConfig, state: State, dt, RH_max,
     # (apply_perparticle_cond_change_to_percell_rv_and_th)
     mom3_after = _specific_mom3(cfg, state)
     drv_cell = (mom3_after - mom3_before) * (4.0 / 3) * c.pi * c.rho_w
-    rv_new = state.rv - drv_cell
-    th_new = state.th - drv_cell * theta_dry.d_th_d_rv(state.T, state.th)
-    return dataclasses.replace(state, rv=rv_new, th=th_new)
+    return _apply_drv_to_cell_th_rv(cfg, state, drv_cell)
