@@ -60,8 +60,8 @@ def drw2_dt(rw2, rd3, kpa, vt, rhod, rv, T, p, RH, eta, lambda_D, lambda_K,
     )
 
 
-def advance_rw2(dt, rw2_old, rd3, kpa, vt, rhod, rv, T, p, RH, eta,
-                lambda_D, lambda_K, RH_max):
+def _advance_rw2_core(dt, rw2_old, rd3, kpa, vt, rhod, rv, T, p, RH, eta,
+                      lambda_D, lambda_K, RH_max):
     """Backward-Euler advance of rw^2 over dt for the whole population
     (reference cond_common.ipp:187-338).
 
@@ -77,7 +77,8 @@ def advance_rw2(dt, rw2_old, rd3, kpa, vt, rhod, rv, T, p, RH, eta,
     rw2_safe = jnp.where(alive, rw2_old, rd3 ** (2.0 / 3))
 
     drw2 = dt * grow(rw2_safe)
-    rd2 = jnp.cbrt(rd3) ** 2
+    from ..common.fastmath import cbrt_pos
+    rd2 = cbrt_pos(rd3) ** 2
 
     a = jnp.maximum(rd2, rw2_safe + jnp.minimum(0.0, COND_MLT * drw2))
     b = rw2_safe + jnp.maximum(0.0, COND_MLT * drw2)
@@ -99,6 +100,36 @@ def advance_rw2(dt, rw2_old, rd3, kpa, vt, rhod, rv, T, p, RH, eta,
     rw2_new = jnp.where(bracketed, rw2_root, rw2_safe + drw2)
     rw2_new = jnp.maximum(rw2_new, rd2)  # no evaporation below dry size
     return jnp.where(alive & (drw2 != 0), rw2_new, rw2_old)
+
+
+def _pallas_wanted(x):
+    """Run the implicit solve as a Pallas kernel?  f32 + on-TPU + population
+    large enough that the VMEM-resident root find beats plain XLA (HBM
+    round-trips per solver iteration otherwise dominate).  LIBCLOUD_PALLAS=
+    0/1 forces either path."""
+    import os
+    env = os.environ.get("LIBCLOUD_PALLAS", "auto")
+    if env == "0" or x.dtype != jnp.float32:
+        return False
+    if env == "1":
+        return True
+    return x.size >= 65536 and jax.default_backend() != "cpu"
+
+
+def advance_rw2(dt, rw2_old, rd3, kpa, vt, rhod, rv, T, p, RH, eta,
+                lambda_D, lambda_K, RH_max):
+    """Dispatch the backward-Euler rw^2 advance: Pallas TPU kernel on the
+    hot f32 path (whole root find in VMEM), plain XLA otherwise — identical
+    physics, see _advance_rw2_core."""
+    args = (rw2_old, rd3, kpa, vt, rhod, rv, T, p, RH, eta,
+            lambda_D, lambda_K)
+    if _pallas_wanted(rw2_old) and all(
+            getattr(a, "shape", None) == rw2_old.shape for a in args):
+        from ..ops.pallas_cond import advance_rw2_pallas
+        args = tuple(jnp.asarray(a, rw2_old.dtype) for a in args)
+        return advance_rw2_pallas(_advance_rw2_core, dt, *args, RH_max)
+    return _advance_rw2_core(dt, rw2_old, rd3, kpa, vt, rhod, rv, T, p, RH,
+                             eta, lambda_D, lambda_K, RH_max)
 
 
 def _specific_mom3(cfg: StaticConfig, state: State):
