@@ -59,18 +59,26 @@ def hskpng_mfp(T, p):
 
 def ijk_of_xyz(cfg: StaticConfig, x, y, z):
     """Position -> ravelled cell index (reference hskpng_ijk.ipp:86-253).
-    The i == nx edge case is avoided by clipping (the reference divides in
-    double, :224)."""
+
+    The reference computes ``i = size_t(x / dx)`` with NO x0 offset — the
+    Lagrangian domain crop [x0, x1] only restricts where particles live, the
+    cell grid itself always starts at 0 (see dv_eval, init_grid.ipp:33-52).
+    Division is done in double to avoid the i == nx edge (:224); clipping
+    covers the remaining fp edge cases."""
+    f64 = jnp.float64  # falls back to f32 when x64 is disabled
+
+    def cell_of(pos, d, n):
+        return jnp.clip(
+            jnp.floor(pos.astype(f64) / d).astype(jnp.int32), 0, n - 1
+        )
+
     idx = jnp.zeros(jnp.shape(x), jnp.int32)
     if cfg.nx > 1 or (cfg.n_dims >= 1 and cfg.nx >= 1):
-        i = jnp.clip(((x - cfg.x0) / cfg.dx).astype(jnp.int32), 0, cfg.nx - 1)
-        idx = idx * cfg.nx + i
+        idx = idx * cfg.nx + cell_of(x, cfg.dx, cfg.nx)
     if cfg.ny > 1:
-        j = jnp.clip(((y - cfg.y0) / cfg.dy).astype(jnp.int32), 0, cfg.ny - 1)
-        idx = idx * cfg.ny + j
+        idx = idx * cfg.ny + cell_of(y, cfg.dy, cfg.ny)
     if cfg.nz > 1 or (cfg.n_dims >= 2 and cfg.nz >= 1):
-        k = jnp.clip(((z - cfg.z0) / cfg.dz).astype(jnp.int32), 0, cfg.nz - 1)
-        idx = idx * cfg.nz + k
+        idx = idx * cfg.nz + cell_of(z, cfg.dz, cfg.nz)
     return idx
 
 

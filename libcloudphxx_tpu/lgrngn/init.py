@@ -30,6 +30,25 @@ RD_MAX_INIT = 1e-3
 CONST_MULTI_THRESHOLD = 1e20
 
 
+def cell_dv(cfg: StaticConfig) -> np.ndarray:
+    """Per-cell sample volume with the Lagrangian-domain crop
+    (reference init_grid.ipp dv_eval:33-52): cells partially outside
+    [x0,x1]x[y0,y1]x[z0,z1] get proportionally smaller volumes (the
+    libmpdata++ coupling uses x0=dx/2, x1=(nx-.5)*dx half-cell crops,
+    kin_cloud_2d_lgrngn.hpp:167-170)."""
+    def axis(n, d, a0, a1):
+        i = np.arange(max(1, n))
+        return np.maximum(
+            0.0, np.minimum((i + 1) * d, a1) - np.maximum(i * d, a0)
+        )
+
+    wx = axis(cfg.nx, cfg.dx, cfg.x0, cfg.x1)
+    wy = axis(cfg.ny, cfg.dy, cfg.y0, cfg.y1)
+    wz = axis(cfg.nz, cfg.dz, cfg.z0, cfg.z1)
+    # i outermost, k innermost (ravel order of ijk)
+    return (wx[:, None, None] * wy[None, :, None] * wz[None, None, :]).ravel()
+
+
 def _eval_distro(fun, lnrd):
     """Evaluate a user distribution over an array of ln(rd).
 
@@ -113,12 +132,10 @@ def init_SD(cfg: StaticConfig, oi, state: State, rng: np.random.Generator,
             return key[0], (key[1] if len(key) > 1 else 0.0)
         return key, 0.0
 
-    def cell_volumes():
-        if cfg.n_dims == 0:
-            return 1.0 / np.asarray(rhod_host)
-        return np.full(n_cell, cfg.dx * cfg.dy * cfg.dz)
-
-    dv_host = cell_volumes()
+    if cfg.n_dims == 0:
+        dv_host = 1.0 / np.asarray(rhod_host)
+    else:
+        dv_host = cell_dv(cfg)
 
     if oi.dry_distros and oi.sd_conc > 0:
         # --- sd_conc mode (init_SD_with_distros_sd_conc.ipp:14-45)
@@ -223,10 +240,6 @@ def init_SD(cfg: StaticConfig, oi, state: State, rng: np.random.Generator,
             f"lgrngn init: n_part ({n_part}) exceeds n_sd_max ({cfg.n_sd_max})"
         )
 
-    # positions: uniform within the cell (init_xyz.ipp:17-35)
-    def cell_coord(idx, n_axis, x0, dxa, sub):
-        return x0 + (idx + sub) * dxa
-
     pad = cfg.n_sd_max - n_part
     dtype = state.rd3.dtype
 
@@ -236,21 +249,26 @@ def init_SD(cfg: StaticConfig, oi, state: State, rng: np.random.Generator,
         )
 
     # decompose ravelled ijk back into (i, j, k) per the ordering of
-    # hskpng.ijk_of_xyz (i outermost, k innermost)
+    # hskpng.ijk_of_xyz (i outermost, k innermost); positions uniform within
+    # the cell intersected with the Lagrangian domain (init_xyz.ipp:17-35:
+    # x = u01*min(x1,(i+1)dx) + (1-u01)*max(x0, i*dx))
     idx = ijk.copy()
     dims = []
     if cfg.nz > 1 or cfg.n_dims >= 2:
-        dims.append(("z", cfg.nz, cfg.z0, cfg.dz))
+        dims.append(("z", cfg.nz, cfg.z0, cfg.z1, cfg.dz))
     if cfg.ny > 1:
-        dims.insert(0, ("y", cfg.ny, cfg.y0, cfg.dy))
+        dims.insert(0, ("y", cfg.ny, cfg.y0, cfg.y1, cfg.dy))
     if cfg.n_dims >= 1:
-        dims.insert(0, ("x", cfg.nx, cfg.x0, cfg.dx))
+        dims.insert(0, ("x", cfg.nx, cfg.x0, cfg.x1, cfg.dx))
     coords = {"x": np.zeros(n_part), "y": np.zeros(n_part),
               "z": np.zeros(n_part)}
-    for name, n_axis, a0, da in reversed(dims):
+    for name, n_axis, a0, a1, da in reversed(dims):
         axis_idx = idx % n_axis
         idx //= n_axis
-        coords[name] = a0 + (axis_idx + rng.random(n_part)) * da
+        u01 = rng.random(n_part)
+        lo = np.maximum(a0, axis_idx * da)
+        hi = np.minimum(a1, (axis_idx + 1) * da)
+        coords[name] = u01 * hi + (1.0 - u01) * lo
 
     state = dataclasses.replace(
         state,

@@ -284,8 +284,10 @@ class particles_t:
             key=jax.random.PRNGKey(oi.rng_seed),
         )
         if self.cfg.n_dims > 0:
-            dv = np.full(n_cell, self.cfg.dx * self.cfg.dy * self.cfg.dz)
-            st = dataclasses.replace(st, dv=jnp.asarray(dv))
+            # cropped cell volumes (reference init_grid.ipp dv_eval:33-52)
+            st = dataclasses.replace(
+                st, dv=jnp.asarray(init_mod.cell_dv(self.cfg))
+            )
         cupd = self._courant_updates(courant_x, courant_y, courant_z)
         if cupd:
             st = dataclasses.replace(st, **cupd)

@@ -47,19 +47,18 @@ def courant_indices(cfg: StaticConfig, ijk):
     return (lft, rgt), (fre, hnd), (blw, abv)
 
 
-def _axis_implicit(x, x0, dx, idx, C_l, C_r):
-    """Backward-Euler interpolated advance (adve.ipp:28-61)."""
-    xi = x - x0
+def _axis_implicit(x, dx, idx, C_l, C_r):
+    """Backward-Euler interpolated advance (adve.ipp:28-61).
+    Positions are absolute (cell grid anchored at 0); idx = floor(x/dx)."""
     dC = C_r - C_l
-    return x0 + (xi + dx * (C_l - idx * dC)) / (1.0 - dC)
+    return (x + dx * (C_l - idx * dC)) / (1.0 - dC)
 
 
-def _axis_euler(x, x0, dx, idx, C_l, C_r, apply=True):
+def _axis_euler(x, dx, idx, C_l, C_r, apply=True):
     """Forward-Euler interpolated advance (adve.ipp:64-93).
     apply=False returns just the displacement."""
-    xi = x - x0
     dC = C_r - C_l
-    disp = dC * (xi - dx * idx) + dx * C_l
+    disp = dC * (x - dx * idx) + dx * C_l
     return (x if apply else 0.0) + disp
 
 
@@ -77,13 +76,13 @@ def _gather_courants(cfg: StaticConfig, state: State, ijk):
 def _advance_positions(cfg, state, ijk, scheme_fn):
     C = _gather_courants(cfg, state, ijk)
     i, j, k = _decompose(cfg, ijk)
-    x = scheme_fn(state.x, cfg.x0, cfg.dx, i, *C["x"])
+    x = scheme_fn(state.x, cfg.dx, i, *C["x"])
     y = state.y
     z = state.z
     if cfg.n_dims == 3:
-        y = scheme_fn(state.y, cfg.y0, cfg.dy, j, *C["y"])
+        y = scheme_fn(state.y, cfg.dy, j, *C["y"])
     if cfg.n_dims > 1:
-        z = scheme_fn(state.z, cfg.z0, cfg.dz, k, *C["z"])
+        z = scheme_fn(state.z, cfg.dz, k, *C["z"])
     return x, y, z
 
 
