@@ -46,6 +46,10 @@ class opts_init_t:
         # SD init mode (opts_init.hpp:56-73)
         self.sd_conc = 0
         self.sd_conc_large_tail = False
+        # opt-in replica of the reference serial backend's mt19937/float32
+        # init sampling (positions/radii/multiplicities bit-compatible with
+        # real_t=float builds) — used by the golden-parity regression
+        self.reference_rng_init = False
         self.aerosol_independent_of_rhod = False
         self.variable_dt_switch = False
         self.sd_const_multi = 0

@@ -298,9 +298,15 @@ class particles_t:
         seed = (
             oi.rng_seed_init if oi.rng_seed_init_switch else oi.rng_seed
         )
-        rng = np.random.default_rng(seed)
         if not oi.no_ccn_at_init:
-            st = init_mod.init_SD(self.cfg, oi, st, rng, rhod)
+            if getattr(oi, "reference_rng_init", False):
+                from . import refinit
+                st = refinit.init_SD_reference(
+                    self.cfg, oi, st, seed, rhod,
+                    init_mod.cell_dv(self.cfg))
+            else:
+                rng = np.random.default_rng(seed)
+                st = init_mod.init_SD(self.cfg, oi, st, rng, rhod)
             st = init_mod.init_wet(self.cfg, st, oi.RH_max)
 
         chem_gases = self._chem_updates(ambient_chem)
