@@ -60,6 +60,27 @@ class Setup:
             )
         return out
 
+    def lognormal_lnrd_f32(self, lnr):
+        """float32-faithful replica of the reference's log_dry_radii functor
+        (icmw8_case1.hpp:63-78 with real_t=float; lognormal::n_e computes the
+        exponent in double because C++ pow(float, int) promotes).  Used with
+        opts_init.reference_rng_init for bit-compatible multiplicities."""
+        from ..lgrngn.refinit import logf
+        f32 = np.float32
+        lnr = np.asarray(lnr, f32)
+        out = np.zeros_like(lnr)
+        for mean, sdev, n_tot in (
+            (self.mean_rd1, self.sdev_rd1, self.n1_stp),
+            (self.mean_rd2, self.sdev_rd2, self.n2_stp),
+        ):
+            lm = logf(f32(mean))[()]
+            ls = logf(f32(sdev))[()]
+            d = (lnr - lm).astype(np.float64)
+            e = f32(np.exp(-(d ** 2) / np.float64(f32(2)) / np.float64(ls) ** 2))
+            out = f32(out + f32(n_tot) * e / ls
+                      / f32(np.sqrt(f32(2) * f32(np.pi))))
+        return out
+
 
 def rhod_profile(setup: Setup, z):
     """Hydrostatic dry-air density (icmw8_case1.hpp:119-136)."""
@@ -90,54 +111,139 @@ def make_gc(setup: Setup, nx, nz, dx, dz):
     return gc_x, gc_z
 
 
+def make_gc_node(setup: Setup, nx, nz, dx, dz):
+    """G-weighted courants on the libmpdata++ node-centred grid
+    (icmw8_case1.hpp intcond:174-219): scalar points at (i*dx, j*dz) with
+    dx = X/(nx-1); x faces at (c-1/2)*dx (c = 0..nx), z faces at (c-1/2)*dz.
+    ψ is differenced over one cell width centred on the face."""
+    A = setup.w_max * (nx - 1) * dx / np.pi / 2.0
+    psi = lambda xX, zZ: -np.sin(np.pi * zZ) * np.cos(2 * np.pi * xX)
+
+    cx = np.arange(nx + 1)          # x-face index c <-> physical (c-.5)*dx
+    j = np.arange(nz)
+    gc_x = (
+        -A
+        * (psi((cx[:, None] - .5) / (nx - 1), (j[None, :] + .5) / (nz - 1))
+           - psi((cx[:, None] - .5) / (nx - 1), (j[None, :] - .5) / (nz - 1)))
+        / dz * setup.dt / dx
+    )
+    i = np.arange(nx)
+    cz = np.arange(nz + 1)
+    gc_z = (
+        A
+        * (psi((i[:, None] + .5) / (nx - 1), (cz[None, :] - .5) / (nz - 1))
+           - psi((i[:, None] - .5) / (nx - 1), (cz[None, :] - .5) / (nz - 1)))
+        / dx * setup.dt / dz
+    )
+    return gc_x, gc_z
+
+
 class Kinematic2D:
     """End-to-end kinematic cloud model; the acceptance vehicle mirroring
     reference models/kinematic_2D/src/icicle.cpp + kin_cloud_2d_*.hpp."""
 
     def __init__(self, nx=76, nz=76, setup: Setup = None, micro="lgrngn",
                  sd_conc=64, sstp_cond=1, sstp_coal=1, n_sd_max=None,
-                 backend=None, mpdata_iters=2):
+                 backend=None, mpdata_iters=2, grid="cell", fct=False,
+                 reference_rng=False, kernel_parameters=None,
+                 terminal_velocity=None, rng_seed=None):
+        """grid="cell": simple cell-centred grid (dx = X/nx), grid="node":
+        the libmpdata++ node-centred interpretation the reference icicle
+        uses (dx = X/(nx-1), scalar points at j*dz, SDM domain cropped to
+        [dx/2, (nx-.5)dx] — kin_cloud_2d_lgrngn.hpp:162-170, icmw8_case1.hpp
+        setopts:171-176).  fct enables the MPDATA non-oscillatory limiter
+        (reference ct_params opts::fct, icicle.cpp:85)."""
         self.setup = setup or Setup()
         s = self.setup
         self.nx, self.nz = nx, nz
-        self.dx = s.X / nx
-        self.dz = s.Z / nz
+        self.grid = grid
+        if grid == "node":
+            self.dx = s.X / (nx - 1)
+            self.dz = s.Z / (nz - 1)
+            z_scalar = np.arange(nz) * self.dz      # scalar points at j*dz
+            z_zface = (np.arange(nz + 1) - 0.5) * self.dz
+            gc_x, gc_z = make_gc_node(s, nx, nz, self.dx, self.dz)
+        else:
+            self.dx = s.X / nx
+            self.dz = s.Z / nz
+            z_scalar = (np.arange(nz) + 0.5) * self.dz
+            z_zface = np.arange(nz + 1) * self.dz
+            gc_x, gc_z = make_gc(s, nx, nz, self.dx, self.dz)
         self.micro = micro
         self.mpdata_iters = mpdata_iters
+        self.fct = fct
 
-        z_centers = (np.arange(nz) + 0.5) * self.dz
-        rhod_col = np.asarray(rhod_profile(s, jnp.asarray(z_centers)))
+        rhod_col = np.asarray(rhod_profile(s, jnp.asarray(z_scalar)))
         self.rhod = np.broadcast_to(rhod_col, (nx, nz)).copy()
 
         # uniform dry-theta / vapour initial state (icmw8_case1.hpp:166-168)
-        th_d = float(theta_dry.std2dry(s.th_0, s.rv_0))
+        if reference_rng:
+            # reference real_t=float value (289.99197 in the fig_a refdata)
+            f = np.float32
+            th_d = float(f(s.th_0) * np.power(
+                f(1) + f(s.rv_0) * f(c.R_v) / f(c.R_d),
+                f(c.R_d) / f(c.c_pd), dtype=f))
+        else:
+            th_d = float(theta_dry.std2dry(s.th_0, s.rv_0))
         self.th = np.full((nx, nz), th_d)
         self.rv = np.full((nx, nz), s.rv_0)
 
-        gc_x, gc_z = make_gc(s, nx, nz, self.dx, self.dz)
         self.gc_x = jnp.asarray(gc_x)
         self.gc_z = jnp.asarray(gc_z)
         self.G = jnp.asarray(self.rhod)
 
         # plain courants for the SDM (kin_cloud_2d_lgrngn.hpp:180-196:
-        # GC divided by rhod at the face)
-        self.C_x = gc_x / rhod_col[None, :]
-        rhod_edge = np.asarray(rhod_profile(s, jnp.asarray(np.arange(nz + 1) * self.dz)))
-        self.C_z = gc_z / rhod_edge[None, :]
+        # GC divided by rhod).  NOTE the reference divides by
+        # rhod(j * this->dj) / rhod((j-.5) * this->dj) where dj is
+        # libmpdata++'s grid step, which icicle never sets — it stays at its
+        # default of 1, so the divisor is rhod evaluated at z = j METRES
+        # (nearly rhod(0) everywhere), not at z = j*dz.  The golden refdata
+        # was produced with that behaviour, so node mode reproduces it
+        # (confirmed: with rhod(j*dz) the fig_a sd_conc field diverges by up
+        # to 7 SDs/cell; with rhod(j*1 m) it matches to +/-1).
+        if grid == "node":
+            div_x = np.asarray(rhod_profile(s, jnp.asarray(
+                np.arange(nz, dtype=float))))
+            div_z = np.asarray(rhod_profile(s, jnp.asarray(
+                np.arange(nz + 1) - 0.5)))
+        else:
+            div_x = rhod_col
+            div_z = np.asarray(rhod_profile(s, jnp.asarray(z_zface)))
+        self.C_x = gc_x / div_x[None, :]
+        self.C_z = gc_z / div_z[None, :]
 
         if micro == "lgrngn":
             oi = lgrngn_mod.opts_init_t()
-            oi.dry_distros = {(s.kappa, 0.0): s.lognormal_lnrd}
+            distro = (s.lognormal_lnrd_f32 if reference_rng
+                      else s.lognormal_lnrd)
+            oi.dry_distros = {(s.kappa, 0.0): distro}
             oi.nx, oi.nz = nx, nz
             oi.dx, oi.dz = self.dx, self.dz
-            oi.x1, oi.z1 = s.X, s.Z
+            if grid == "node":
+                # libmpdata grid interpretation: half-cell crop on each side
+                # (kin_cloud_2d_lgrngn.hpp:167-170)
+                oi.x0, oi.z0 = self.dx / 2, self.dz / 2
+                oi.x1 = (nx - 0.5) * self.dx
+                oi.z1 = (nz - 0.5) * self.dz
+            else:
+                oi.x1, oi.z1 = s.X, s.Z
             oi.dt = s.dt
             oi.sd_conc = sd_conc
             oi.n_sd_max = n_sd_max or 2 * sd_conc * nx * nz
             oi.sstp_cond = sstp_cond
             oi.sstp_coal = sstp_coal
+            oi.reference_rng_init = reference_rng
+            if rng_seed is not None:
+                oi.rng_seed = rng_seed
             oi.kernel = lgrngn_mod.kernel_t.geometric
-            oi.terminal_velocity = lgrngn_mod.vt_t.beard77fast
+            # icicle halves the geometric collection efficiency
+            # (opts_lgrngn.hpp:340-343)
+            oi.kernel_parameters = (
+                list(kernel_parameters) if kernel_parameters is not None
+                else [])
+            oi.terminal_velocity = (
+                terminal_velocity if terminal_velocity is not None
+                else lgrngn_mod.vt_t.beard77fast)
             self.prtcls = lgrngn_mod.factory(
                 backend or lgrngn_mod.backend_t.tpu, oi
             )
@@ -174,20 +280,35 @@ class Kinematic2D:
             # SDM sync-out writes back into these host arrays in place
             out.append(np.array(mpdata.advect(
                 jnp.asarray(f), self.gc_x, self.gc_z, self.G,
-                n_iters=self.mpdata_iters,
+                n_iters=self.mpdata_iters, fct=self.fct,
             )))
         return out
+
+    def advect_scalars(self):
+        """The Eulerian (libmpdata++) part of one lgrngn step: MPDATA
+        advection of th/rv.  Split out so a driver can record fields between
+        advection and microphysics like the reference output does
+        (kin_cloud_2d_lgrngn.hpp:222-225: parent hook_post_step — which
+        includes output — runs before step_sync)."""
+        self.th, self.rv = self._advect(self.th, self.rv)
+
+    def micro_step(self, spinup=False):
+        """The microphysics part of one lgrngn step (hook_post_step body).
+        During spinup, coalescence and sedimentation are off and RH is capped
+        at 1% supersaturation (set_rain, kin_cloud_2d_lgrngn.hpp:121-126)."""
+        opts = self.opts
+        opts.sedi = opts.coal = not spinup
+        opts.RH_max = 1.01 if spinup else 44.0
+        self.prtcls.step_sync(opts, self.th, self.rv, self.rhod)
+        self.prtcls.step_async(opts)
 
     def step(self, spinup=False):
         """One model step: MPDATA advection of the scalar fields, then the
         microphysics hook (reference icicle.cpp:77 + hook_post_step)."""
         s = self.setup
         if self.micro == "lgrngn":
-            self.th, self.rv = self._advect(self.th, self.rv)
-            opts = self.opts
-            opts.sedi = opts.coal = not spinup
-            self.prtcls.step_sync(opts, self.th, self.rv, self.rhod)
-            self.prtcls.step_async(opts)
+            self.advect_scalars()
+            self.micro_step(spinup=spinup)
         elif self.micro == "blk_1m":
             self.th, self.rv, self.rc, self.rr = self._advect(
                 self.th, self.rv, self.rc, self.rr

@@ -86,12 +86,74 @@ def _antidiff_gc(psi, gc_x, gc_z, G):
     return gc_x2, gc_z2
 
 
-@partial(jax.jit, static_argnames=("n_iters",))
-def advect(psi, gc_x, gc_z, G, n_iters=2):
+def _fct_limit(psi_n, psi, gc_x, gc_z, G):
+    """Non-oscillatory (FCT) limiting of the antidiffusive velocities
+    (Smolarkiewicz & Grabowski 1990 eqs. 14-20; libmpdata++ opts::fct).
+
+    psi_n is the field before the donor-cell pass, psi the field after it;
+    gc_x/gc_z are the antidiffusive G-weighted courants to be limited."""
+    pxn, px = _pad_x(psi_n), _pad_x(psi)
+    pzn, pz = _pad_z(psi_n), _pad_z(psi)
+
+    # local extrema over the 5-point stencil of BOTH psi_n and psi
+    psi_max = jnp.maximum(
+        jnp.maximum(jnp.maximum(pxn[:-2], pxn[2:]),
+                    jnp.maximum(pzn[:, :-2], pzn[:, 2:])),
+        jnp.maximum(jnp.maximum(px[:-2], px[2:]),
+                    jnp.maximum(jnp.maximum(pz[:, :-2], pz[:, 2:]),
+                                jnp.maximum(psi_n, psi))),
+    )
+    psi_min = jnp.minimum(
+        jnp.minimum(jnp.minimum(pxn[:-2], pxn[2:]),
+                    jnp.minimum(pzn[:, :-2], pzn[:, 2:])),
+        jnp.minimum(jnp.minimum(px[:-2], px[2:]),
+                    jnp.minimum(jnp.minimum(pz[:, :-2], pz[:, 2:]),
+                                jnp.minimum(psi_n, psi))),
+    )
+
+    # donor-cell fluxes of psi with the antidiffusive courants
+    fx = _donor_flux(px[:-1], px[1:], gc_x)     # (nx+1, nz), face f
+    fz = _donor_flux(pz[:, :-1], pz[:, 1:], gc_z)
+
+    # incoming / outgoing flux sums per cell
+    f_in = (jnp.maximum(fx[:-1], 0.0) - jnp.minimum(fx[1:], 0.0)
+            + jnp.maximum(fz[:, :-1], 0.0) - jnp.minimum(fz[:, 1:], 0.0))
+    f_out = (jnp.maximum(fx[1:], 0.0) - jnp.minimum(fx[:-1], 0.0)
+             + jnp.maximum(fz[:, 1:], 0.0) - jnp.minimum(fz[:, :-1], 0.0))
+
+    beta_up = (psi_max - psi) * G / (f_in + EPS)
+    beta_dn = (psi - psi_min) * G / (f_out + EPS)
+
+    bup_x, bdn_x = _pad_x(beta_up), _pad_x(beta_dn)
+    bup_z, bdn_z = _pad_z(beta_up), _pad_z(beta_dn)
+
+    # limit each face by the donor cell's beta_dn and the receiver's beta_up
+    lim_x = jnp.where(
+        gc_x >= 0.0,
+        jnp.minimum(1.0, jnp.minimum(bdn_x[:-1], bup_x[1:])),
+        jnp.minimum(1.0, jnp.minimum(bup_x[:-1], bdn_x[1:])),
+    )
+    lim_z = jnp.where(
+        gc_z >= 0.0,
+        jnp.minimum(1.0, jnp.minimum(bdn_z[:, :-1], bup_z[:, 1:])),
+        jnp.minimum(1.0, jnp.minimum(bup_z[:, :-1], bdn_z[:, 1:])),
+    )
+    return gc_x * lim_x, gc_z * lim_z
+
+
+@partial(jax.jit, static_argnames=("n_iters", "fct"))
+def advect(psi, gc_x, gc_z, G, n_iters=2, fct=False):
     """MPDATA advection of a positive-definite scalar; n_iters=1 is plain
-    upwind, 2 adds one antidiffusive correction (libmpdata++ default)."""
+    upwind, 2 adds one antidiffusive correction (libmpdata++ default).
+    fct=True applies the non-oscillatory limiter to the corrective
+    iterations (libmpdata++ opts::fct, the reference icicle configuration —
+    models/kinematic_2D/src/icicle.cpp:85)."""
+    psi_prev = psi
     psi = _advect_once(psi, gc_x, gc_z, G)
     for _ in range(n_iters - 1):
         gc_x, gc_z = _antidiff_gc(psi, gc_x, gc_z, G)
+        if fct:
+            gc_x, gc_z = _fct_limit(psi_prev, psi, gc_x, gc_z, G)
+        psi_prev = psi
         psi = _advect_once(psi, gc_x, gc_z, G)
     return psi
