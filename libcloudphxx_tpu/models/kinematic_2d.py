@@ -315,7 +315,9 @@ class Kinematic2D:
             )
             o = self.opts
             if spinup:
-                o = dataclasses.replace(o, conv=False, accr=False, sedi=False)
+                # reference set_rain only gates autoconversion for blk_1m
+                # (kin_cloud_2d_blk_1m.hpp:46-47)
+                o = dataclasses.replace(o, conv=False)
             th, rv, rc, rr = (jnp.asarray(a) for a in
                               (self.th, self.rv, self.rc, self.rr))
             rhod = jnp.asarray(self.rhod)
@@ -334,17 +336,22 @@ class Kinematic2D:
                 drc, drr = blk_1m_mod.rhs_cellwise(o, zero, zero, rc, rr)
             drr, flux = blk_1m_mod.rhs_columnwise(o, drr, rhod, rr, self.dz)
             self.puddle_flux += float(jnp.sum(flux)) * s.dt
+            # rhs applied unclamped, like libmpdata++'s euler_b psi += dt*rhs
             self.th = np.asarray(th + s.dt * dth)
             self.rv = np.asarray(rv + s.dt * drv)
-            self.rc = np.asarray(jnp.maximum(rc + s.dt * drc, 0.0))
-            self.rr = np.asarray(jnp.maximum(rr + s.dt * drr, 0.0))
+            self.rc = np.asarray(rc + s.dt * drc)
+            self.rr = np.asarray(rr + s.dt * drr)
         elif self.micro == "blk_2m":
             self.th, self.rv, self.rc, self.nc, self.rr, self.nr = \
                 self._advect(self.th, self.rv, self.rc, self.nc,
                              self.rr, self.nr)
             o = self.opts
             if spinup:
-                o = dataclasses.replace(o, acnv=False, accr=False, sedi=False)
+                # reference set_rain: acnv off + 1% RH cap
+                # (kin_cloud_2d_blk_2m.hpp:96-101)
+                o = dataclasses.replace(o, acnv=False, RH_max=1.01)
+            else:
+                o = dataclasses.replace(o, RH_max=44.0)
             th, rv, rc, nc, rr, nr = (jnp.asarray(a) for a in (
                 self.th, self.rv, self.rc, self.nc, self.rr, self.nr))
             rhod = jnp.asarray(self.rhod)
@@ -359,15 +366,108 @@ class Kinematic2D:
             self.puddle_flux += float(jnp.sum(flux)) * s.dt
             self.th = np.asarray(th + s.dt * dth)
             self.rv = np.asarray(rv + s.dt * drv)
-            self.rc = np.asarray(jnp.maximum(rc + s.dt * drc, 0.0))
-            self.nc = np.asarray(jnp.maximum(nc + s.dt * dnc, 0.0))
-            self.rr = np.asarray(jnp.maximum(rr + s.dt * drr, 0.0))
-            self.nr = np.asarray(jnp.maximum(nr + s.dt * dnr, 0.0))
+            self.rc = np.asarray(rc + s.dt * drc)
+            self.nc = np.asarray(nc + s.dt * dnc)
+            self.rr = np.asarray(rr + s.dt * drr)
+            self.nr = np.asarray(nr + s.dt * dnr)
         self.t += s.dt
+
+    def ante_loop(self):
+        """blk_1m deals with initial supersaturation by one saturation
+        adjustment before the time loop (kin_cloud_2d_blk_1m.hpp
+        hook_ante_loop:49-58 condevap) — the t=0 output already contains
+        cloud water aloft."""
+        if self.micro != "blk_1m":
+            return
+        s = self.setup
+        th, rv, rc, rr = (jnp.asarray(a) for a in
+                          (self.th, self.rv, self.rc, self.rr))
+        pz = jnp.zeros_like(th)
+        th, rv, rc, rr = blk_1m_mod.adj_cellwise(
+            self.opts, jnp.asarray(self.rhod), pz, th, rv, rc, rr, s.dt)
+        self.th, self.rv, self.rc, self.rr = map(np.asarray, (th, rv, rc, rr))
 
     def run(self, nt, spinup=0):
         for i in range(nt):
             self.step(spinup=i < spinup)
+
+    # ------------------------------------------- device-resident bulk loop
+    def _blk_step_fn(self, spinup: bool):
+        """Pure jax step function over the bulk field tuple — the same math
+        as step() without host round trips."""
+        s = self.setup
+        o = self.opts
+        rhod = jnp.asarray(self.rhod)
+        gc_x, gc_z, G = self.gc_x, self.gc_z, self.G
+        dz, dt = self.dz, s.dt
+        n_iters, fct = self.mpdata_iters, self.fct
+        adv = lambda f: mpdata.advect(f, gc_x, gc_z, G,
+                                      n_iters=n_iters, fct=fct)
+
+        if self.micro == "blk_1m":
+            if spinup:
+                o = dataclasses.replace(o, conv=False)
+
+            def f(fields):
+                th, rv, rc, rr, pf = fields
+                th, rv, rc, rr = adv(th), adv(rv), adv(rc), adv(rr)
+                pz = jnp.zeros_like(th)
+                th, rv, rc, rr = blk_1m_mod.adj_cellwise(
+                    o, rhod, pz, th, rv, rc, rr, dt)
+                zero = jnp.zeros_like(th)
+                if o.adj_nwtrph:
+                    dth, drv, drc, drr = blk_1m_mod.rhs_cellwise_revap(
+                        o, zero, zero, zero, zero,
+                        rhod, pz, th, rv, rc, rr, dt)
+                else:
+                    dth, drv = zero, zero
+                    drc, drr = blk_1m_mod.rhs_cellwise(o, zero, zero, rc, rr)
+                drr, flux = blk_1m_mod.rhs_columnwise(o, drr, rhod, rr, dz)
+                return (th + dt * dth, rv + dt * drv, rc + dt * drc,
+                        rr + dt * drr, pf + jnp.sum(flux) * dt)
+            return f
+
+        if self.micro == "blk_2m":
+            o = dataclasses.replace(
+                o, acnv=o.acnv and not spinup,
+                RH_max=1.01 if spinup else 44.0)
+
+            def f(fields):
+                th, rv, rc, nc, rr, nr, pf = fields
+                th, rv, rc, nc, rr, nr = (adv(th), adv(rv), adv(rc),
+                                          adv(nc), adv(rr), adv(nr))
+                zero = jnp.zeros_like(th)
+                dth, drv, drc, dnc, drr, dnr = blk_2m_mod.rhs_cellwise(
+                    o, zero, zero, zero, zero, zero, zero,
+                    rhod, th, rv, rc, nc, rr, nr, dt)
+                drr, dnr, flux = blk_2m_mod.rhs_columnwise(
+                    o, drr, dnr, rhod, rr, nr, dt, dz)
+                return (th + dt * dth, rv + dt * drv, rc + dt * drc,
+                        nc + dt * dnc, rr + dt * drr, nr + dt * dnr,
+                        pf + jnp.sum(flux) * dt)
+            return f
+
+        raise ValueError(f"run_device: unsupported micro {self.micro}")
+
+    def run_device(self, nt, spinup=0):
+        """Device-resident bulk run: one lax.scan per spinup phase, no host
+        transfers between steps (the TPU-native answer to the reference's
+        9000-step fig_a regressions)."""
+        names = (("th", "rv", "rc", "rr") if self.micro == "blk_1m"
+                 else ("th", "rv", "rc", "nc", "rr", "nr"))
+        fields = tuple(jnp.asarray(getattr(self, k)) for k in names) \
+            + (jnp.asarray(float(self.puddle_flux)),)
+        for n, sp in ((min(spinup, nt), True), (max(0, nt - spinup), False)):
+            if n == 0:
+                continue
+            f = self._blk_step_fn(sp)
+            runner = jax.jit(lambda c: jax.lax.scan(
+                lambda carry, _: (f(carry), None), c, None, length=n)[0])
+            fields = runner(fields)
+        for k, v in zip(names, fields):
+            setattr(self, k, np.asarray(v))
+        self.puddle_flux = float(fields[-1])
+        self.t += nt * self.setup.dt
 
     # ---------------------------------------------------------- diagnostics
     def diag_lgrngn(self, what="rc"):
