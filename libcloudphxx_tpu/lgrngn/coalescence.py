@@ -282,7 +282,7 @@ def _shift_up(arr):
 
 
 def coal_substep(cfg: StaticConfig, state: State, params, dt, key,
-                 eff_table=None, r_max_um=0.0) -> State:
+                 eff_table=None, r_max_um=0.0, turb_coal=False) -> State:
     """One coalescence substep over the whole population
     (reference particles_impl_coal.ipp:273-546).
 
@@ -355,7 +355,10 @@ def coal_substep(cfg: StaticConfig, state: State, params, dt, key,
         cfg, params, n_a, n_b, rw2_a, rw2_b, vt_a, vt_b, rd3_a, rd3_b,
         eff_table=eff_table, r_max_um=r_max_um,
         rhod=state.rhod[cell], eta=state.eta[cell],
-        diss_rate=state.diss_rate[cell],
+        # opts.turb_coal gates whether kernels see the ambient turbulence
+        # (reference coal.ipp:439-450: the _turb tuple feeds diss_rate to
+        # the onishi/Wang terms only when turb_coal is on)
+        diss_rate=state.diss_rate[cell] if turb_coal else 0.0,
     )
     prob = dt / dv * scale[cell] * K
     prob = jnp.where(is_pair, prob, 0.0)
@@ -433,7 +436,8 @@ def coal_substep(cfg: StaticConfig, state: State, params, dt, key,
     return dataclasses.replace(state, **updates)
 
 
-def coal(cfg: StaticConfig, state: State, params, dt, sstp_coal: int) -> State:
+def coal(cfg: StaticConfig, state: State, params, dt, sstp_coal: int,
+         turb_coal: bool = False) -> State:
     """The sstp_coal-substep coalescence loop of step_async
     (reference particles_step.ipp:382-404), with terminal velocities
     refreshed between substeps (hskpng_vterm_invalid)."""
@@ -463,7 +467,8 @@ def coal(cfg: StaticConfig, state: State, params, dt, sstp_coal: int) -> State:
         vt = vterm_mod.vt_of(cfg, st.rw2, T_sd, p_sd, rhod_sd, eta_sd)
         st = dataclasses.replace(st, vt=vt)
         st = coal_substep(cfg, st, params, dt_sub, sub,
-                          eff_table=eff_table, r_max_um=r_max_um)
+                          eff_table=eff_table, r_max_um=r_max_um,
+                          turb_coal=turb_coal)
         out = {k: getattr(st, k) for k in carried if k != "key"}
         out["key"] = key
         return out

@@ -106,14 +106,20 @@ def _pallas_wanted(x):
     """Run the implicit solve as a Pallas kernel?  f32 + on-TPU + population
     large enough that the VMEM-resident root find beats plain XLA (HBM
     round-trips per solver iteration otherwise dominate).  LIBCLOUD_PALLAS=
-    0/1 forces either path."""
+    0/1 forces either path (note: the env var is read at TRACE time, so it
+    must be set before the first jitted call — flipping it later has no
+    effect on already-compiled programs)."""
     import os
     env = os.environ.get("LIBCLOUD_PALLAS", "auto")
     if env == "0" or x.dtype != jnp.float32:
         return False
     if env == "1":
+        # forced on: off-TPU backends degrade to interpret mode (see
+        # advance_rw2) instead of failing to compile
         return True
-    return x.size >= 65536 and jax.default_backend() != "cpu"
+    # the kernel targets Mosaic-TPU memory spaces; any non-TPU backend
+    # (cpu, gpu) auto-selects the plain-XLA path
+    return x.size >= 65536 and jax.default_backend() == "tpu"
 
 
 def advance_rw2(dt, rw2_old, rd3, kpa, vt, rhod, rv, T, p, RH, eta,
@@ -127,7 +133,9 @@ def advance_rw2(dt, rw2_old, rd3, kpa, vt, rhod, rv, T, p, RH, eta,
             getattr(a, "shape", None) == rw2_old.shape for a in args):
         from ..ops.pallas_cond import advance_rw2_pallas
         args = tuple(jnp.asarray(a, rw2_old.dtype) for a in args)
-        return advance_rw2_pallas(_advance_rw2_core, dt, *args, RH_max)
+        return advance_rw2_pallas(
+            _advance_rw2_core, dt, *args, RH_max,
+            interpret=jax.default_backend() != "tpu")
     return _advance_rw2_core(dt, rw2_old, rd3, kpa, vt, rhod, rv, T, p, RH,
                              eta, lambda_D, lambda_K, RH_max)
 
@@ -307,6 +315,9 @@ def _cond_percell_sorted(cfg, state, dt_sub, sstp, RH_max, turb_cond,
         th = stt.th + drv * theta_dry.d_th_d_rv(stt.T, stt.th)
         return (rw2_new, th, rv, ssp)
 
+    # NOTE: measured on TPU — unrolling this loop does not change runtime
+    # (the substep cost is bandwidth/op-count bound, not loop-trip bound)
+    # but inflates compile time ~10x, so it stays rolled
     rw2_s, th, rv, ssp_s = jax.lax.fori_loop(
         0, sstp, substep, (rw2_s, state.th, state.rv, ssp_s)
     )

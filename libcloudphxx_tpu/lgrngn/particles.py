@@ -114,11 +114,12 @@ def _step_async_jit(cfg: StaticConfig, sstp_coal: int, switches: tuple,
     turbulent displacement -> sedimentation -> subsidence -> boundary
     conditions/puddle -> re-binning."""
     (do_coal, do_adve, do_sedi, do_subs, do_turb_adve, do_turb_cond,
-     do_rcyc) = switches
+     do_rcyc, do_turb_coal) = switches
     state = hskpng.hskpng_Tpr(cfg, state)
     state = vterm_mod.hskpng_vterm_all(cfg, state)
     if do_coal:
-        state = coalescence.coal(cfg, state, params, dt, sstp_coal)
+        state = coalescence.coal(cfg, state, params, dt, sstp_coal,
+                                 turb_coal=do_turb_coal)
     if do_turb_adve or do_turb_cond:
         # SGS block (particles_step.ipp:406-426)
         state = turbulence.hskpng_tke(cfg, state, sgs_mix_len)
@@ -436,6 +437,11 @@ class particles_t:
         do_turb_adve = bool(opts.turb_adve
                             and self.opts_init.turb_adve_switch)
         do_turb_cond = bool(opts.turb_cond and self.cfg.turb_cond_switch)
+        if opts.turb_coal and not self.opts_init.turb_coal_switch:
+            raise RuntimeError(
+                "libcloudphxx: turb_coal_switch=False, but turb_coal==True"
+            )
+        do_turb_coal = bool(opts.turb_coal)
         do_rcyc = bool(opts.rcyc)
         do_sedi = bool(opts.sedi and self.cfg.sedi_switch
                        and self.cfg.n_dims > 0)
@@ -483,7 +489,7 @@ class particles_t:
             self.state = _step_async_jit(
                 self.cfg, int(sstp),
                 (do_coal, do_adve, do_sedi, do_subs, do_turb_adve,
-                 do_turb_cond, do_rcyc),
+                 do_turb_cond, do_rcyc, do_turb_coal),
                 self.state, params, w_LS, sgs_mix_len, dt,
             )
 

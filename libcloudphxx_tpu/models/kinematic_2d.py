@@ -391,6 +391,75 @@ class Kinematic2D:
         for i in range(nt):
             self.step(spinup=i < spinup)
 
+    # ----------------------------------------- device-resident lgrngn loop
+    def _lgrngn_step_fn(self, spinup: bool):
+        """One fused model step (MPDATA + step_sync + step_async) as a pure
+        function over (State, th, rv) — everything the reference splits
+        across libmpdata++, step_sync and a std::async step_async
+        (kin_cloud_2d_lgrngn.hpp:220-295) becomes a single XLA program."""
+        from ..lgrngn.particles import _step_async_jit, _step_cond_jit
+        p = self.prtcls
+        cfg = p.cfg
+        oi = p.opts_init
+        dt = self.setup.dt
+        RH_max = 1.01 if spinup else 44.0
+        do_coal = (not spinup) and cfg.coal_switch \
+            and cfg.kernel != lgrngn_mod.kernel_t.undefined.value
+        do_sedi = (not spinup) and cfg.sedi_switch
+        switches = (do_coal, True, do_sedi, False, False, False, False,
+                    False)
+        params = jnp.asarray(np.asarray(oi.kernel_parameters, dtype=float))
+        w_LS = jnp.asarray(np.asarray(oi.w_LS, dtype=float)
+                           if len(oi.w_LS) else np.zeros(max(1, cfg.nz)))
+        sgs_mix_len = jnp.asarray(
+            np.asarray(oi.SGS_mix_len, dtype=float)
+            if len(oi.SGS_mix_len) else np.full(max(1, cfg.nz), cfg.dz))
+        gc_x, gc_z, G = self.gc_x, self.gc_z, self.G
+        n_iters, fct = self.mpdata_iters, self.fct
+        nx, nz = self.nx, self.nz
+
+        def f(carry):
+            state, th, rv = carry
+            th = mpdata.advect(th, gc_x, gc_z, G, n_iters=n_iters, fct=fct)
+            rv = mpdata.advect(rv, gc_x, gc_z, G, n_iters=n_iters, fct=fct)
+            state = dataclasses.replace(
+                state, th=th.reshape(-1), rv=rv.reshape(-1))
+            state = _step_cond_jit(cfg, state, dt, RH_max, False, False, True)
+            th, rv = state.th.reshape(nx, nz), state.rv.reshape(nx, nz)
+            state = _step_async_jit(cfg, int(oi.sstp_coal), switches,
+                                    state, params, w_LS, sgs_mix_len, dt)
+            return (state, th, rv)
+        return f
+
+    def _lgrngn_runner(self, sp: bool, n: int):
+        """Compiled scan over n fused steps, cached per (spinup, n)."""
+        cache = getattr(self, "_lgrngn_runners", None)
+        if cache is None:
+            cache = self._lgrngn_runners = {}
+        key = (sp, n)
+        if key not in cache:
+            f = self._lgrngn_step_fn(sp)
+            cache[key] = jax.jit(lambda c: jax.lax.scan(
+                lambda carry, _: (f(carry), None), c, None, length=n)[0])
+        return cache[key]
+
+    def run_device_lgrngn(self, nt, spinup=0):
+        """Device-resident lgrngn run: lax.scan over fused model steps; host
+        sees th/rv only at the end."""
+        p = self.prtcls
+        carry = (p.state, jnp.asarray(self.th), jnp.asarray(self.rv))
+        for n, sp in ((min(spinup, nt), True), (max(0, nt - spinup), False)):
+            if n == 0:
+                continue
+            carry = self._lgrngn_runner(sp, n)(carry)
+        state, th, rv = carry
+        p.state = state
+        self.th = np.asarray(th)
+        self.rv = np.asarray(rv)
+        p._should_now_run_cond = False
+        p._should_now_run_async = False
+        self.t += nt * self.setup.dt
+
     # ------------------------------------------- device-resident bulk loop
     def _blk_step_fn(self, spinup: bool):
         """Pure jax step function over the bulk field tuple — the same math

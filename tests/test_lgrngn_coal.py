@@ -238,3 +238,63 @@ def test_recycling_refills_dead_slots():
     assert (n1 > 0).sum() > 0.9 * 512
     assert mass1 == pytest.approx(mass0, rel=1e-9)
     assert n1.sum() < tot0
+
+
+def test_turb_coal_changes_kernel_values():
+    """opts.turb_coal gates whether kernels see the ambient dissipation rate
+    (reference particles_step.ipp:382-404 coal(dt, turb_coal) and
+    coal.ipp:439-450 _turb tuple): with it off the onishi/Wang terms see
+    eps = 0 and the kernel collapses toward the stagnant-air value."""
+    import jax.numpy as jnp
+    from libcloudphxx_tpu.lgrngn import coalescence
+    from libcloudphxx_tpu.lgrngn.state import StaticConfig
+
+    oi = lgrngn.opts_init_t()
+    oi.dt = 1.0
+    oi.sd_conc = 2
+    oi.n_sd_max = 2
+    oi.kernel = lgrngn.kernel_t.onishi_hall
+    oi.kernel_parameters = [100.0]
+    oi.terminal_velocity = lgrngn.vt_t.beard76
+    oi.turb_coal_switch = True
+    cfg = StaticConfig.from_opts_init(oi)
+    table, r_max = coalescence.load_efficiency_table(oi.kernel)
+    args = dict(
+        n_a=jnp.array([1e8]), n_b=jnp.array([5e7]),
+        rw2_a=jnp.array([(20e-6) ** 2]), rw2_b=jnp.array([(15e-6) ** 2]),
+        vt_a=jnp.array([0.02]), vt_b=jnp.array([0.01]),
+        rd3_a=jnp.array([1e-18]), rd3_b=jnp.array([1e-18]),
+        eff_table=table, r_max_um=r_max, rhod=1.1, eta=1.8e-5,
+    )
+    params = jnp.array([100.0])
+    k_turb = float(coalescence.kernel_value(
+        cfg, params, diss_rate=jnp.array([0.04]), **args)[0])
+    k_still = float(coalescence.kernel_value(
+        cfg, params, diss_rate=0.0, **args)[0])
+    assert k_turb > k_still > 0.0
+
+
+def test_turb_coal_requires_switch():
+    def lognormal(lnr):
+        return 60e6 * np.exp(-(lnr - np.log(0.02e-6)) ** 2
+                             / 2 / np.log(1.4) ** 2) \
+            / np.log(1.4) / np.sqrt(2 * np.pi)
+    oi = lgrngn.opts_init_t()
+    oi.dt = 1.0
+    oi.dry_distros = {(0.61, 0.0): lognormal}
+    oi.sd_conc = 8
+    oi.n_sd_max = 8
+    oi.kernel = lgrngn.kernel_t.geometric
+    oi.terminal_velocity = lgrngn.vt_t.beard76
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    rhod = np.ones(1)
+    th = 300.0 * np.ones(1)
+    rv = 0.01 * np.ones(1)
+    prtcls.init(th.copy(), rv.copy(), rhod)
+    opts = lgrngn.opts_t()
+    opts.adve = opts.sedi = opts.cond = opts.chem_dsl = False
+    opts.coal = True
+    opts.turb_coal = True  # but opts_init.turb_coal_switch is False
+    prtcls.step_sync(opts, th.copy(), rv.copy(), rhod)
+    with pytest.raises(RuntimeError, match="turb_coal"):
+        prtcls.step_async(opts)
