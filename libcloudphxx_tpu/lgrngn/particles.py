@@ -199,6 +199,53 @@ class particles_t:
         self._rlx_ctr = 0
         self._src_rng = np.random.default_rng(opts_init.rng_seed + 1)
 
+    # ---- device-work hooks: the multi-device front-end
+    # (parallel/multi.py) overrides these with shard_map'd equivalents
+    def _step_cond_impl(self, *args):
+        return _step_cond_jit(self.cfg, *args)
+
+    def _step_chem_impl(self, *args):
+        return _step_chem_jit(self.cfg, *args)
+
+    def _step_async_impl(self, *args):
+        return _step_async_jit(self.cfg, *args)
+
+    def _tpr_impl(self):
+        return _tpr_jit(self.cfg, self.state)
+
+    def _moms_calc_impl(self, power, n_filtered, attr):
+        return _moms_calc_jit(self.cfg, self.state, power, n_filtered, attr)
+
+    def _sd_count_impl(self, n_filtered):
+        return hskpng.sd_count_per_cell(self.cfg, n_filtered, self.state.ijk)
+
+    def _mass_dens_impl(self, n_filtered, rad, sig0):
+        return _mass_dens_jit(self.cfg, self.state, n_filtered, rad, sig0)
+
+    def _cell_to_host(self, arr):
+        """Device per-cell array -> host-layout numpy (identity here; the
+        multi-device front-end unpads its sharded layout)."""
+        return np.asarray(arr)
+
+    def _segment_max_impl(self, vals):
+        mx = jax.ops.segment_max(
+            vals, self.state.ijk, num_segments=self.cfg.n_cell)
+        return jnp.maximum(mx, 0.0)
+
+    def _precip_rate_impl(self, ice: bool):
+        """1st non-specific moment of (rw^3 | ice mass) * vt
+        (particles_diag.ipp:561-607)."""
+        st = self._tpr_impl()
+        st = vterm_mod.hskpng_vterm_all(self.cfg, st)
+        if ice:
+            from . import ice as ice_mod
+            vals = ice_mod.ice_mass(st.ice_a, st.ice_c, st.ice_rho)
+        else:
+            vals = st.rw2 ** 1.5
+        return jax.ops.segment_sum(
+            self._n_filtered * vals * st.vt, st.ijk,
+            num_segments=self.cfg.n_cell)
+
     def _courant_updates(self, courant_x, courant_y, courant_z):
         """Validate + flatten Arakawa-C staggered courant fields."""
         cfg = self.cfg
@@ -374,17 +421,19 @@ class particles_t:
                 "libcloudphxx: turb_cond_switch=False, but turb_cond==True"
             )
         if opts.cond or (opts.ice_nucl and self.cfg.ice_switch):
-            self.state = _step_cond_jit(
-                self.cfg, self.state, dt, float(opts.RH_max),
+            self.state = self._step_cond_impl(
+                self.state, dt, float(opts.RH_max),
                 bool(opts.turb_cond),
                 bool(opts.ice_nucl and self.cfg.ice_switch),
                 bool(opts.cond),
             )
             # sync out
             if th is not None:
-                np.asarray(th).reshape(-1)[:] = np.asarray(self.state.th)
+                np.asarray(th).reshape(-1)[:] = self._cell_to_host(
+                    self.state.th)
             if rv is not None:
-                np.asarray(rv).reshape(-1)[:] = np.asarray(self.state.rv)
+                np.asarray(rv).reshape(-1)[:] = self._cell_to_host(
+                    self.state.rv)
         # chemistry substeps (particles_step.ipp:272-310)
         do_chem = (opts.chem_dsl or opts.chem_dsc or opts.chem_rct)
         if do_chem:
@@ -393,8 +442,8 @@ class particles_t:
                     "libcloudphxx: all chemistry was switched off in "
                     "opts_init"
                 )
-            self.state = _step_chem_jit(
-                self.cfg, self.state,
+            self.state = self._step_chem_impl(
+                self.state,
                 dt, bool(opts.chem_dsl), bool(opts.chem_dsc),
                 bool(opts.chem_rct),
             )
@@ -486,8 +535,8 @@ class particles_t:
 
         if do_coal or do_adve or do_sedi or do_subs or do_turb_adve \
                 or do_turb_cond or do_rcyc:
-            self.state = _step_async_jit(
-                self.cfg, int(sstp),
+            self.state = self._step_async_impl(
+                int(sstp),
                 (do_coal, do_adve, do_sedi, do_subs, do_turb_adve,
                  do_turb_cond, do_rcyc, do_turb_coal),
                 self.state, params, w_LS, sgs_mix_len, dt,
@@ -534,18 +583,15 @@ class particles_t:
 
     def diag_pressure(self):
         self._require_init()
-        st = _tpr_jit(self.cfg, self.state)
-        self._set_outbuf(st.p)
+        self._set_outbuf(self._tpr_impl().p)
 
     def diag_temperature(self):
         self._require_init()
-        st = _tpr_jit(self.cfg, self.state)
-        self._set_outbuf(st.T)
+        self._set_outbuf(self._tpr_impl().T)
 
     def diag_RH(self):
         self._require_init()
-        st = _tpr_jit(self.cfg, self.state)
-        self._set_outbuf(st.RH)
+        self._set_outbuf(self._tpr_impl().RH)
 
     # --- selection filters (reference particles_diag.ipp:224-340)
     def diag_all(self):
@@ -598,28 +644,22 @@ class particles_t:
         """SD count (not multiplicity) per cell of the selected population
         (reference particles_diag.ipp:196-219)."""
         self._check_selected()
-        counts = hskpng.sd_count_per_cell(
-            self.cfg, self._n_filtered, self.state.ijk
-        )
-        self._set_outbuf(counts)
+        self._set_outbuf(self._sd_count_impl(self._n_filtered))
 
     def diag_dry_mom(self, n):
         self._check_selected()
-        self._set_outbuf(_moms_calc_jit(
-            self.cfg, self.state, n / 3.0, self._n_filtered, self.state.rd3
-        ))
+        self._set_outbuf(self._moms_calc_impl(
+            n / 3.0, self._n_filtered, self.state.rd3))
 
     def diag_wet_mom(self, n):
         self._check_selected()
-        self._set_outbuf(_moms_calc_jit(
-            self.cfg, self.state, n / 2.0, self._n_filtered, self.state.rw2
-        ))
+        self._set_outbuf(self._moms_calc_impl(
+            n / 2.0, self._n_filtered, self.state.rw2))
 
     def diag_kappa_mom(self, n):
         self._check_selected()
-        self._set_outbuf(_moms_calc_jit(
-            self.cfg, self.state, float(n), self._n_filtered, self.state.kpa
-        ))
+        self._set_outbuf(self._moms_calc_impl(
+            float(n), self._n_filtered, self.state.kpa))
 
     def _require_ice(self):
         if not self.opts_init.ice_switch:
@@ -671,18 +711,14 @@ class particles_t:
     def diag_ice_a_mom(self, n):
         self._require_ice()
         self._check_selected()
-        self._set_outbuf(_moms_calc_jit(
-            self.cfg, self.state, float(n), self._n_filtered,
-            self.state.ice_a,
-        ))
+        self._set_outbuf(self._moms_calc_impl(
+            float(n), self._n_filtered, self.state.ice_a))
 
     def diag_ice_c_mom(self, n):
         self._require_ice()
         self._check_selected()
-        self._set_outbuf(_moms_calc_jit(
-            self.cfg, self.state, float(n), self._n_filtered,
-            self.state.ice_c,
-        ))
+        self._set_outbuf(self._moms_calc_impl(
+            float(n), self._n_filtered, self.state.ice_c))
 
     def diag_ice_mix_ratio(self):
         """Specific ice mass per cell (particles_diag.ipp:443-454)."""
@@ -691,9 +727,8 @@ class particles_t:
         from . import ice as ice_mod
         mass = ice_mod.ice_mass(
             self.state.ice_a, self.state.ice_c, self.state.ice_rho)
-        self._set_outbuf(_moms_calc_jit(
-            self.cfg, self.state, 1.0, self._n_filtered, mass,
-        ))
+        self._set_outbuf(self._moms_calc_impl(
+            1.0, self._n_filtered, mass))
 
     def diag_precip_rate_ice_mass(self):
         """1st non-specific moment of ice_mass * vt
@@ -701,20 +736,13 @@ class particles_t:
         self._require_ice()
         self._check_selected()
         from . import ice as ice_mod
-        st = _tpr_jit(self.cfg, self.state)
-        st = vterm_mod.hskpng_vterm_all(self.cfg, st)
-        mass = ice_mod.ice_mass(st.ice_a, st.ice_c, st.ice_rho)
-        mom = jax.ops.segment_sum(
-            self._n_filtered * mass * st.vt, st.ijk,
-            num_segments=self.cfg.n_cell,
-        )
-        self._set_outbuf(mom)
+        self._set_outbuf(self._precip_rate_impl(ice=True))
 
     def diag_rw_ge_rc(self):
         """Select activated SDs: rw >= critical radius
         (reference particles_diag.ipp:384-409)."""
         self._require_init()
-        st = _tpr_jit(self.cfg, self.state)
+        st = self._tpr_impl()
         rc2 = _rc2_of(st, st.T[st.ijk])
         self._n_filtered = jnp.where(st.rw2 >= rc2, st.n, 0.0)
 
@@ -723,7 +751,7 @@ class particles_t:
         (reference particles_diag.ipp:353-381)."""
         from ..common import kappa_koehler
         self._require_init()
-        st = _tpr_jit(self.cfg, self.state)
+        st = self._tpr_impl()
         S_cr = kappa_koehler.S_cr(
             jnp.maximum(st.rd3, 1e-300), jnp.maximum(st.kpa, 1e-10),
             st.T[st.ijk],
@@ -734,23 +762,14 @@ class particles_t:
         """1st non-specific moment of rw^3 * vt of the selected SDs
         (reference particles_diag.ipp:561-588)."""
         self._check_selected()
-        st = _tpr_jit(self.cfg, self.state)
-        st = vterm_mod.hskpng_vterm_all(self.cfg, st)
-        vals = st.rw2 ** 1.5 * st.vt
-        mom = jax.ops.segment_sum(
-            self._n_filtered * vals, st.ijk, num_segments=self.cfg.n_cell
-        )
-        self._set_outbuf(mom)
+        self._set_outbuf(self._precip_rate_impl(ice=False))
 
     def diag_max_rw(self):
         """Largest wet radius per cell (reference particles_diag.ipp:609-643)."""
         self._require_init()
         rw = jnp.sqrt(jnp.maximum(self.state.rw2, 0.0))
         rw = jnp.where(self.state.n > 0, rw, 0.0)
-        mx = jax.ops.segment_max(
-            rw, self.state.ijk, num_segments=self.cfg.n_cell
-        )
-        self._set_outbuf(jnp.maximum(mx, 0.0))
+        self._set_outbuf(self._segment_max_impl(rw))
 
     def diag_vel_div(self):
         """Flow-field divergence per cell [1/s]
@@ -779,40 +798,34 @@ class particles_t:
                 "opts_init.diag_incloud_time == false"
             )
         self._check_selected()
-        self._set_outbuf(_moms_calc_jit(
-            self.cfg, self.state, float(n), self._n_filtered,
-            self.state.incloud_time,
-        ))
+        self._set_outbuf(self._moms_calc_impl(
+            float(n), self._n_filtered, self.state.incloud_time))
 
     def diag_wet_mass_dens(self, rad, sig0):
         """Mass-density KDE at wet radius ``rad``
         (reference particles_diag.ipp:494-499 + mass_dens.ipp)."""
         self._check_selected()
-        self._set_outbuf(_mass_dens_jit(
-            self.cfg, self.state, self._n_filtered, float(rad), float(sig0)
-        ))
+        self._set_outbuf(self._mass_dens_impl(
+            self._n_filtered, float(rad), float(sig0)))
 
     def diag_up_mom(self, n):
         """Moment of the SGS x-velocity perturbation
         (reference particles.hpp:117)."""
         self._check_selected()
-        self._set_outbuf(_moms_calc_jit(
-            self.cfg, self.state, float(n), self._n_filtered, self.state.up,
-        ))
+        self._set_outbuf(self._moms_calc_impl(
+            float(n), self._n_filtered, self.state.up))
 
     def diag_vp_mom(self, n):
         """(reference particles.hpp:118)"""
         self._check_selected()
-        self._set_outbuf(_moms_calc_jit(
-            self.cfg, self.state, float(n), self._n_filtered, self.state.vp,
-        ))
+        self._set_outbuf(self._moms_calc_impl(
+            float(n), self._n_filtered, self.state.vp))
 
     def diag_wp_mom(self, n):
         """(reference particles.hpp:119)"""
         self._check_selected()
-        self._set_outbuf(_moms_calc_jit(
-            self.cfg, self.state, float(n), self._n_filtered, self.state.wp,
-        ))
+        self._set_outbuf(self._moms_calc_impl(
+            float(n), self._n_filtered, self.state.wp))
 
     def diag_chem(self, species):
         """Specific per-cell mass of a dissolved chem species
@@ -823,10 +836,8 @@ class particles_t:
                 "libcloudphxx: all chemistry was switched off in opts_init"
             )
         self._check_selected()
-        self._set_outbuf(_moms_calc_jit(
-            self.cfg, self.state, 1.0, self._n_filtered,
-            self.state.chem[int(species)],
-        ))
+        self._set_outbuf(self._moms_calc_impl(
+            1.0, self._n_filtered, self.state.chem[int(species)]))
 
     def diag_puddle(self):
         """(reference particles_impl_bcnd.ipp puddle accumulators)"""
@@ -868,7 +879,14 @@ class particles_t:
 
 
 def factory(backend: backend_t, opts_init: opts_init_t) -> particles_t:
-    """Runtime backend dispatch (reference src/lib.cpp:12-44).  All backends
-    map onto the single JAX execution path; the enum is accepted for source
-    compatibility."""
+    """Runtime backend dispatch (reference src/lib.cpp:12-44).  Single-device
+    backends map onto one JAX execution path; multi_CUDA (or
+    opts_init.dev_count > 1) selects the device-mesh front-end
+    (reference lib.cpp:30-38 + multi_gpu_impl.ipp)."""
+    dev_count = int(getattr(opts_init, "dev_count", 0))
+    if dev_count > 1 or (backend == backend_t.multi_CUDA
+                         and len(jax.devices()) > 1):
+        from ..parallel.multi import particles_multi_t
+        return particles_multi_t(backend, opts_init,
+                                 n_devices=dev_count or None)
     return particles_t(backend, opts_init)

@@ -8,14 +8,22 @@ src/impl_multi_gpu/) becomes a single `shard_map` program over a
 
   - Eulerian fields are sharded into x slabs (the flat cell index is
     x-outermost, so axis-0 sharding IS the slab decomposition),
+  - slabs may be UNEVEN (reference distmem_opts.hpp distributes the
+    remainder; the MPI oracle test uses nx = rank+2): every shard is padded
+    to the widest slab, and the live extent rides along as a per-shard
+    ShardDomain of dynamic Lagrangian bounds [lo, hi),
   - each shard owns a fixed-capacity slice of the SD population in *local*
     coordinates (the reference also re-bases coordinates on migration,
     pack.ipp:14-27),
+  - courant halos are refreshed with a ring `ppermute` each sync
+    (reference xchng_courants.ipp:207-320, called from sync_in),
   - SD migration is a fixed-size pack -> `jax.lax.ppermute` -> unpack into
     dead slots, mirroring the preallocated MPI buffers
     (src/detail/config.hpp:191) — ragged counts ride as validity masks,
   - migration-buffer overflow increments a loud counter in the state
-    (the reference hard-asserts its buffer sizes).
+    (the reference hard-asserts its buffer sizes),
+  - per-shard puddles are reduced host-side at diag time (reference
+    particles_multi_gpu_diag.ipp).
 
 Collectives ride the ICI ring; nothing here assumes a host count.
 """
@@ -28,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..lgrngn import coalescence, condensation, hskpng, transport
+from ..lgrngn import coalescence, condensation, hskpng, transport, turbulence
 from ..lgrngn import vterm as vterm_mod
 from ..lgrngn.state import State, StaticConfig
 
@@ -39,39 +47,102 @@ MIGRATING_ATTRS = ("n", "rd3", "rw2", "kpa", "x", "y", "z", "vt",
                    "ice_a", "ice_c", "ice_rho", "T_freeze", "rd2_insol")
 
 
-def local_config(cfg: StaticConfig, n_shards: int) -> StaticConfig:
-    """Per-shard static config: an x slab in local coordinates
-    (the reference's distmem_opts nx split, src/detail/distmem_opts.hpp)."""
-    if cfg.nx % n_shards != 0:
-        raise ValueError(
-            f"lgrngn: nx ({cfg.nx}) must divide by the number of x shards "
-            f"({n_shards})"
-        )
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ShardDomain:
+    """Per-shard dynamic Lagrangian domain in local coordinates.
+
+    All leaves are (1,)-shaped so the global (n_shards,) arrays shard to one
+    scalar per device; the global domain crop (x0 > 0 on the first slab,
+    x1 < nx*dx on the last) and uneven slab widths both live here instead of
+    in the static config.  ``nxl`` is the live cell count of the slab (the
+    padded static nx may be larger)."""
+    lo: jax.Array
+    hi: jax.Array
+    nxl: jax.Array
+
+
+def slab_widths(nx: int, n_shards: int):
+    """Cells per slab, remainder spread from the left
+    (reference src/detail/distmem_opts.hpp)."""
+    base = nx // n_shards
+    rem = nx % n_shards
+    return [base + (1 if s < rem else 0) for s in range(n_shards)]
+
+
+def local_config(cfg: StaticConfig, n_shards: int,
+                 widths=None) -> StaticConfig:
+    """Per-shard static config: the PADDED x slab in local coordinates.
+    All shards share one compiled program; narrower slabs leave their
+    rightmost cells dead (no SDs, dv keeps a safe nonzero value)."""
     if cfg.n_sd_max % n_shards != 0:
         raise ValueError("lgrngn: n_sd_max must divide by the shard count")
-    nx_l = cfg.nx // n_shards
-    width = (cfg.x1 - cfg.x0) / n_shards
+    widths = widths or slab_widths(cfg.nx, n_shards)
+    nx_pad = max(widths)
     return dataclasses.replace(
         cfg,
-        nx=nx_l,
-        n_cell=nx_l * cfg.ny * cfg.nz,
+        nx=nx_pad,
+        n_cell=nx_pad * max(1, cfg.ny) * max(1, cfg.nz),
         n_sd_max=cfg.n_sd_max // n_shards,
         x0=0.0,
-        x1=width,
+        x1=nx_pad * cfg.dx,
     )
 
 
-def migrate(cfg: StaticConfig, state: State, buf: int,
+def shard_domains(cfg: StaticConfig, n_shards: int, widths=None):
+    """(lo, hi, widths) per shard as (n_shards,) arrays (local coords)."""
+    widths = widths or slab_widths(cfg.nx, n_shards)
+    offs = np.concatenate([[0], np.cumsum(widths)])[:-1]
+    lo = np.maximum(0.0, cfg.x0 - offs * cfg.dx)
+    hi = np.minimum(np.asarray(widths, float) * cfg.dx,
+                    cfg.x1 - offs * cfg.dx)
+    return np.asarray(lo), np.asarray(hi), np.asarray(widths, np.int32)
+
+
+def xchng_courants(cfg: StaticConfig, state: State, dom=None,
+                   axis_name: str = "x") -> State:
+    """Refresh the right courant halo from the right neighbour's first face
+    (reference xchng_courants.ipp:207-320; halo_size == 1, i.e. implicit /
+    euler SD advection — pred_corr's halo of 2 is not supported sharded).
+
+    Local courant_x holds (nx_l+1)*ny*nz values; faces [0..nx_l-1] are owned,
+    face nx_l duplicates the right neighbour's face 0 (with periodic x the
+    last shard receives the first shard's face — the ring IS the wrap)."""
+    if cfg.n_dims == 0 or state.courant_x.size == 0:
+        return state
+    n_shards = jax.lax.psum(1, axis_name)
+    nyz = max(1, cfg.ny) * max(1, cfg.nz)
+    cx = state.courant_x
+    first_face = jax.lax.dynamic_slice_in_dim(cx, 0, nyz)
+    perm = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    halo = jax.lax.ppermute(first_face, axis_name, perm)
+    # the halo face sits after the slab's LIVE faces (uneven slabs are
+    # padded to a common static width, so the position is dynamic)
+    pos = (dom.nxl[0] if dom is not None else cfg.nx) * nyz
+    cx = jax.lax.dynamic_update_slice_in_dim(cx, halo, pos, axis=0)
+    return dataclasses.replace(state, courant_x=cx)
+
+
+def migrate(cfg: StaticConfig, state: State, dom: ShardDomain, buf: int,
             axis_name: str = "x") -> State:
     """Exchange out-of-slab SDs with the two x neighbours
     (reference mpi_exchange.ipp:20-331 / step_async_and_copy.ipp:28-206).
 
     Runs inside shard_map.  ``buf`` is the static per-direction buffer
-    capacity."""
+    capacity.  Coordinate re-basing follows the reference's
+    rmt + x - lcl rule (pack.ipp:14-27) generalised to uneven slabs and the
+    periodic wrap at the domain ends: a right mover lands at
+    x - hi(sender) + lo(receiver)."""
     n_shards = jax.lax.psum(1, axis_name)
-    width = cfg.x1 - cfg.x0
+    lo = dom.lo[0]
+    hi = dom.hi[0]
+    perm_r = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    perm_l = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    # domain handshake (reference xchng_domains.ipp:149-190)
+    lo_next = jax.lax.ppermute(dom.lo, axis_name, perm_l)[0]
+    hi_prev = jax.lax.ppermute(dom.hi, axis_name, perm_r)[0]
 
-    def pack(mask, rebase):
+    def pack(mask, shift):
         # movers first (stable sort keeps in-cell order), take buf slots
         order = jnp.argsort(~mask)
         idx = order[:buf]
@@ -80,25 +151,22 @@ def migrate(cfg: StaticConfig, state: State, buf: int,
         for name in MIGRATING_ATTRS:
             v = getattr(state, name)[idx]
             if name == "x":
-                v = v + rebase
+                v = v + shift
             payload[name] = jnp.where(valid, v, 0.0)
         overflow = jnp.maximum(jnp.sum(mask) - buf, 0)
         return payload, valid, overflow
 
     alive = state.n > 0
-    go_l = alive & (state.x < cfg.x0)
-    go_r = alive & (state.x >= cfg.x1)
-    # coordinate re-basing into the receiver's frame (pack.ipp:14-27)
-    pay_l, val_l, ovf_l = pack(go_l, +width)
-    pay_r, val_r, ovf_r = pack(go_r, -width)
+    go_l = alive & (state.x < lo)
+    go_r = alive & (state.x >= hi)
+    pay_l, val_l, ovf_l = pack(go_l, hi_prev - lo)
+    pay_r, val_r, ovf_r = pack(go_r, lo_next - hi)
 
     # kill the movers locally (they are flagged n=0 in the reference too)
     n_local = jnp.where(go_l | go_r, 0.0, state.n)
     state = dataclasses.replace(state, n=n_local)
 
     # ring exchange: right payload to the right neighbour, left to the left
-    perm_r = [(i, (i + 1) % n_shards) for i in range(n_shards)]
-    perm_l = [(i, (i - 1) % n_shards) for i in range(n_shards)]
     recv_from_left = jax.tree_util.tree_map(
         lambda a: jax.lax.ppermute(a, axis_name, perm_r), (pay_r, val_r)
     )
@@ -131,60 +199,94 @@ def migrate(cfg: StaticConfig, state: State, buf: int,
     return transport.post_step(cfg, state)
 
 
-def sharded_async_step(cfg: StaticConfig, sstp_coal: int, buf: int,
-                       axis_name: str = "x"):
-    """The per-shard transport phase with neighbour migration — the body to
-    run under shard_map (reference particles_step.ipp:339-494 with the MPI
-    exchange at :486)."""
-
-    def step(state: State, params, dt):
-        state = hskpng.hskpng_Tpr(cfg, state)
-        state = vterm_mod.hskpng_vterm_all(cfg, state)
-        if cfg.coal_switch:
-            state = coalescence.coal(cfg, state, params, dt, sstp_coal)
-        state = transport.adve(cfg, state)
-        state = transport.sedi(state, dt)
-        # z walls + puddle are local; the x wrap happens globally through
-        # migration, so open/periodic x is handled by the ring itself
-        state = _bcnd_z_only(cfg, state)
-        state = migrate(cfg, state, buf, axis_name)
-        return state
-
-    return step
-
-
 def _bcnd_z_only(cfg: StaticConfig, state: State) -> State:
-    """bcnd with the x-direction left to migration."""
+    """bcnd with the x-direction left to migration (the ring is the wrap)."""
     z, n = state.z, state.n
     puddle = state.puddle
     if cfg.n_dims > 1:
         from ..common import constants as c
         from ..lgrngn.state import (OUT_DRY_VOL, OUT_LIQ_NUM, OUT_LIQ_VOL,
                                     OUT_PRTCL_NUM)
-        n = jnp.where(z >= cfg.z1, 0.0, n)
-        fell = (z < cfg.z0) & (n > 0)
-        nf = jnp.where(fell, n, 0.0)
-        rw2 = state.rw2
-        puddle = puddle.at[OUT_LIQ_VOL].add(jnp.sum(
-            4.0 / 3 * c.pi * nf * rw2 * jnp.sqrt(jnp.maximum(rw2, 0.0))))
-        puddle = puddle.at[OUT_DRY_VOL].add(
-            jnp.sum(4.0 / 3 * c.pi * nf * state.rd3))
-        puddle = puddle.at[OUT_LIQ_NUM].add(
-            jnp.sum(jnp.where(rw2 > 0, nf, 0.0)))
-        puddle = puddle.at[OUT_PRTCL_NUM].add(jnp.sum(nf))
-        n = jnp.where(fell, 0.0, n)
+        if cfg.periodic_topbot_walls:
+            z = cfg.z0 + jnp.remainder(z - cfg.z0, cfg.z1 - cfg.z0)
+        else:
+            n = jnp.where(z >= cfg.z1, 0.0, n)
+            fell = (z < cfg.z0) & (n > 0)
+            nf = jnp.where(fell, n, 0.0)
+            rw2 = state.rw2
+            puddle = puddle.at[OUT_LIQ_VOL].add(jnp.sum(
+                4.0 / 3 * c.pi * nf * rw2 * jnp.sqrt(jnp.maximum(rw2, 0.0))))
+            puddle = puddle.at[OUT_DRY_VOL].add(
+                jnp.sum(4.0 / 3 * c.pi * nf * state.rd3))
+            puddle = puddle.at[OUT_LIQ_NUM].add(
+                jnp.sum(jnp.where(rw2 > 0, nf, 0.0)))
+            puddle = puddle.at[OUT_PRTCL_NUM].add(jnp.sum(nf))
+            n = jnp.where(fell, 0.0, n)
     return dataclasses.replace(state, z=z, n=n, puddle=puddle)
 
 
-def sharded_sync_step(cfg: StaticConfig):
-    """Per-shard condensation phase — purely local (no collectives): the
-    payoff of slab decomposition is that the hottest kernel needs zero
+def sharded_sync_step(cfg: StaticConfig, axis_name: str = "x"):
+    """Per-shard condensation (+ chemistry) phase: local physics after the
+    courant-halo refresh — the hottest kernel needs zero further
     communication (same as the reference, where cond never touches MPI)."""
 
-    def step(state: State, dt, RH_max):
+    def step(state: State, dt, RH_max, dom=None, turb_cond=False):
+        state = xchng_courants(cfg, state, dom, axis_name)
         state = hskpng.hskpng_Tpr(cfg, state)
-        state = condensation.cond_percell(cfg, state, dt, RH_max)
-        state = condensation.sstp_save(state)
+        state = condensation.cond_percell(cfg, state, dt, RH_max,
+                                          turb_cond=turb_cond)
+        state = condensation.sstp_save(state, exact=cfg.exact_sstp_cond)
+        if cfg.chem_switch:
+            from ..lgrngn import chemistry
+            state = chemistry.sstp_chem_loop(cfg, state, dt,
+                                             True, True, True)
+        return state
+
+    return step
+
+
+def sharded_async_step(cfg: StaticConfig, sstp_coal: int, buf: int,
+                       switches=(True, True, True, False, False, False,
+                                 False, False),
+                       axis_name: str = "x"):
+    """The per-shard transport phase with neighbour migration — the body to
+    run under shard_map: the FULL step_async process set of the reference
+    (particles_step.ipp:339-494: coalescence, SGS turbulence, advection,
+    turbulent displacement, sedimentation, subsidence, walls, migration).
+
+    ``switches`` mirrors the single-device _step_async_jit tuple:
+    (coal, adve, sedi, subs, turb_adve, turb_cond, rcyc, turb_coal)."""
+    (do_coal, do_adve, do_sedi, do_subs, do_turb_adve, do_turb_cond,
+     do_rcyc, do_turb_coal) = switches
+
+    def step(state: State, dom: ShardDomain, params, w_LS, sgs_mix_len, dt):
+        state = hskpng.hskpng_Tpr(cfg, state)
+        state = vterm_mod.hskpng_vterm_all(cfg, state)
+        if do_coal:
+            state = coalescence.coal(cfg, state, params, dt, sstp_coal,
+                                     turb_coal=do_turb_coal)
+        if do_turb_adve or do_turb_cond:
+            state = turbulence.hskpng_tke(cfg, state, sgs_mix_len)
+            state = turbulence.hskpng_turb_vel(
+                cfg, state, sgs_mix_len, dt,
+                only_vertical=not do_turb_adve)
+            if do_turb_cond:
+                state = turbulence.hskpng_turb_dot_ss(cfg, state)
+        if do_adve:
+            state = transport.adve(cfg, state)
+        if do_turb_adve:
+            state = turbulence.turb_adve(cfg, state, dt)
+        if do_sedi:
+            state = transport.sedi(state, dt)
+        if do_subs:
+            state = transport.subs(cfg, state, w_LS, dt)
+        # z walls + puddle are local; the x wrap happens globally through
+        # migration, so open/periodic x is handled by the ring itself
+        state = _bcnd_z_only(cfg, state)
+        if do_rcyc:
+            from ..lgrngn import recycle
+            state = recycle.rcyc(cfg, state)
+        state = migrate(cfg, state, dom, buf, axis_name)
         return state
 
     return step
@@ -197,56 +299,78 @@ def make_mesh(n_devices=None):
     return Mesh(np.array(devs), axis_names=("x",))
 
 
+def state_specs():
+    """A State-shaped pytree of sharding specs: 1-D leaves shard on axis 0,
+    the (species, n) chemistry leaves on axis 1."""
+    specs = {f.name: P("x") for f in dataclasses.fields(State)}
+    for nm in ("chem", "ambient_chem", "sstp_tmp_chem"):
+        specs[nm] = P(None, "x")
+    return State(**specs)
+
+
 def build_multichip_step(mesh: Mesh, cfg: StaticConfig, sstp_coal=1,
-                         buf=None):
-    """Assemble the full jitted multi-chip SDM step: sharded condensation
-    (local) + transport with ring migration.  Returns (step_fn, cfg_local);
-    ``step_fn(state, params, dt, RH_max)`` expects a State whose per-SD and
-    per-cell leaves are sharded along the mesh "x" axis."""
+                         buf=None, switches=None):
+    """Assemble the full jitted multi-chip SDM step: courant halos + sharded
+    condensation (local) + full transport with ring migration.  Returns
+    (step_fn, cfg_local); ``step_fn(state, dom, params, w_LS, sgs_mix_len,
+    dt, RH_max)`` expects a State whose per-SD and per-cell leaves are
+    sharded along the mesh "x" axis and ``dom`` built from shard_domains."""
     n_shards = mesh.devices.size
     cfg_l = local_config(cfg, n_shards)
     buf = buf or max(16, cfg_l.n_sd_max // 4)
+    if switches is None:
+        switches = (cfg.coal_switch, True, cfg.sedi_switch, False, False,
+                    False, False, False)
 
     sync = sharded_sync_step(cfg_l)
-    async_ = sharded_async_step(cfg_l, sstp_coal, buf)
+    async_ = sharded_async_step(cfg_l, sstp_coal, buf, switches)
 
-    def whole_step(state, params, dt, RH_max):
-        state = sync(state, dt, RH_max)
-        state = async_(state, params, dt)
+    def whole_step(state, dom, params, w_LS, sgs_mix_len, dt, RH_max):
+        state = sync(state, dt, RH_max, dom)
+        state = async_(state, dom, params, w_LS, sgs_mix_len, dt)
         return state
 
-    spec_state = jax.tree_util.tree_map(lambda _: P("x"), _state_specs())
+    spec_state = state_specs()
+    dom_spec = ShardDomain(lo=P("x"), hi=P("x"), nxl=P("x"))
     step = jax.jit(
         jax.shard_map(
             whole_step,
             mesh=mesh,
-            in_specs=(spec_state, P(), P(), P()),
+            in_specs=(spec_state, dom_spec, P(), P(), P(), P(), P()),
             out_specs=spec_state,
         )
     )
     return step, cfg_l
 
 
-def _state_specs():
-    """A State-shaped pytree of placeholders for spec construction."""
-    flds = [f.name for f in dataclasses.fields(State)]
-    return State(**{f: 0 for f in flds})
-
-
-def replicate_state_for_mesh(cfg: StaticConfig, mesh: Mesh, state_builder):
+def replicate_state_for_mesh(cfg: StaticConfig, mesh: Mesh, state_builder,
+                             widths=None):
     """Host-side helper: build each shard's local state with
     ``state_builder(shard_index, cfg_local)`` and concatenate into global
     arrays laid out for axis-0 "x" sharding."""
     n_shards = mesh.devices.size
-    cfg_l = local_config(cfg, n_shards)
+    cfg_l = local_config(cfg, n_shards, widths)
     locals_ = [state_builder(s, cfg_l) for s in range(n_shards)]
 
-    def cat(*leaves):
-        return jnp.concatenate([jnp.atleast_1d(l) for l in leaves], axis=0)
+    spec = state_specs()
 
-    merged = jax.tree_util.tree_map(cat, *locals_)
-    spec = jax.tree_util.tree_map(lambda _: P("x"), _state_specs())
+    def cat(sp, *leaves):
+        axis = 1 if (len(sp) > 1 and sp[0] is None) else 0
+        return jnp.concatenate([jnp.atleast_1d(l) for l in leaves],
+                               axis=axis)
+
+    merged = jax.tree_util.tree_map(cat, spec, *locals_)
     return jax.device_put(
         merged,
         jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), spec),
     )
+
+
+def device_put_domains(cfg: StaticConfig, mesh: Mesh, widths=None):
+    """ShardDomain for the mesh, device_put with "x" sharding."""
+    lo, hi, nxl = shard_domains(cfg, mesh.devices.size, widths)
+    dom = ShardDomain(lo=jnp.asarray(lo), hi=jnp.asarray(hi),
+                      nxl=jnp.asarray(nxl))
+    return jax.device_put(
+        dom, jax.tree_util.tree_map(
+            lambda _: NamedSharding(mesh, P("x")), dom))

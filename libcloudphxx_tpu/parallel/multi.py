@@ -1,0 +1,413 @@
+"""particles_multi_t — the multi-device SDM front-end.
+
+TPU-native equivalent of the reference's multi_CUDA backend
+(src/impl_multi_gpu/particles_multi_gpu_impl.ipp:35-227 + the diag
+reductions in particles_multi_gpu_diag.ipp): one particles_proto_t that
+fans the domain out over a `jax.sharding.Mesh` x axis.  Where the reference
+spawns a std::thread + particles_t<CUDA> per GPU and hand-rolls P2P halo
+copies, here the whole step is ONE shard_map'd XLA program per phase and the
+exchanges are `ppermute` collectives (parallel/decomp.py).
+
+Semantics mirror the reference:
+  - construction-time slab split of nx, remainder spread from the left
+    (distmem_opts.hpp) — uneven nx is fine,
+  - init happens globally (identical SD population to the serial backend),
+    then the population is scattered to its slabs in local coordinates,
+  - step_sync / step_cond / step_async keep the particles_proto_t contract,
+  - diag moments come back as the stitched global field (outbuf), and
+    diag_puddle sums the per-shard accumulators
+    (particles_multi_gpu_diag.ipp:14-68).
+
+Not supported sharded (loud errors, same spirit as the reference's
+"chemistry not compatible with distmem" guard, particles_impl.ipp:441):
+aerosol source/relaxation and the pred_corr SD advection scheme (halo 2).
+"""
+
+import dataclasses
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..lgrngn import hskpng
+from ..lgrngn.particles import particles_t
+from ..lgrngn.state import PUDDLE_KEYS, State, StaticConfig
+from ..lgrngn.enums import as_t, backend_t
+from . import decomp
+
+
+class particles_multi_t(particles_t):
+    def __init__(self, backend, opts_init, n_devices=None):
+        super().__init__(backend, opts_init)
+        n_dev = n_devices or int(opts_init.dev_count) or len(jax.devices())
+        if n_dev < 2:
+            raise ValueError("particles_multi_t: need at least 2 devices")
+        if opts_init.nx < n_dev:
+            raise ValueError("particles_multi_t: nx smaller than the mesh")
+        if self.cfg.adve_scheme == as_t.pred_corr.value:
+            raise RuntimeError(
+                "libcloudphxx: pred_corr SD advection (courant halo of 2) "
+                "is not supported on a device mesh; use implicit or euler"
+            )
+        if opts_init.chem_switch:
+            raise RuntimeError(
+                "libcloudphxx: chemistry is not compatible with the "
+                "multi-device backend yet (same restriction as the "
+                "reference's distmem backends)"
+            )
+        # round the per-shard SD capacity up so n_sd_max shards evenly
+        self._cap = math.ceil(self.cfg.n_sd_max / n_dev)
+        cfg_pad = dataclasses.replace(self.cfg, n_sd_max=self._cap * n_dev)
+        self.cfg_global = cfg_pad
+        self.mesh = decomp.make_mesh(n_dev)
+        self.n_shards = n_dev
+        self.widths = decomp.slab_widths(self.cfg.nx, n_dev)
+        self.offs = np.concatenate([[0], np.cumsum(self.widths)])[:-1]
+        self.cfg_l = decomp.local_config(cfg_pad, n_dev, self.widths)
+        self.nx_pad = self.cfg_l.nx
+        self.dom = decomp.device_put_domains(cfg_pad, self.mesh, self.widths)
+        self._sharding = jax.tree_util.tree_map(
+            lambda s: NamedSharding(self.mesh, s), decomp.state_specs())
+        self._shard_jits = {}
+
+    # ------------------------------------------------------------- sharding
+    def _pad_cell(self, arr, fill=None):
+        """Global (n_cell,) -> padded sharded layout (n_shards*nx_pad*nyz,).
+        Padded columns get the slab's last column (a safe, finite value)."""
+        nyz = max(1, self.cfg.ny) * max(1, self.cfg.nz)
+        g = np.asarray(arr, np.float64).reshape(self.cfg.nx, nyz)
+        out = np.empty((self.n_shards, self.nx_pad, nyz))
+        for s, (off, w) in enumerate(zip(self.offs, self.widths)):
+            out[s, :w] = g[off:off + w]
+            out[s, w:] = g[off + w - 1]
+        return out.reshape(-1)
+
+    def _unpad_cell(self, arr):
+        nyz = max(1, self.cfg.ny) * max(1, self.cfg.nz)
+        a = np.asarray(arr).reshape(self.n_shards, self.nx_pad, nyz)
+        return np.concatenate(
+            [a[s, :w] for s, w in enumerate(self.widths)], axis=0
+        ).reshape(-1)
+
+    def _pad_courant_x(self, arr):
+        """Global ((nx+1)*nyz,) -> per-shard (nx_pad+1)*nyz with the right
+        halo face filled from the neighbour (the host-side equivalent of
+        xchng_courants — the device-side ppermute refreshes it each sync)."""
+        nyz = max(1, self.cfg.ny) * max(1, self.cfg.nz)
+        g = np.asarray(arr, np.float64).reshape(self.cfg.nx + 1, nyz)
+        out = np.zeros((self.n_shards, self.nx_pad + 1, nyz))
+        for s, (off, w) in enumerate(zip(self.offs, self.widths)):
+            out[s, :w + 1] = g[off:off + w + 1]
+        return out.reshape(-1)
+
+    def _pad_courant_z(self, arr):
+        nz1 = max(1, self.cfg.nz) + 1 if self.cfg.n_dims > 1 else 0
+        if nz1 == 0:
+            return np.asarray(arr)
+        g = np.asarray(arr, np.float64).reshape(self.cfg.nx, nz1)
+        out = np.zeros((self.n_shards, self.nx_pad, nz1))
+        for s, (off, w) in enumerate(zip(self.offs, self.widths)):
+            out[s, :w] = g[off:off + w]
+        return out.reshape(-1)
+
+    def _shard_state(self, g: State) -> State:
+        """Scatter a global-coordinate state into the sharded local layout
+        (the reference's per-GPU slab scatter, multi_gpu_impl.ipp:35-181)."""
+        cfg = self.cfg
+        nyz = max(1, cfg.ny) * max(1, cfg.nz)
+        n = np.asarray(g.n)
+        ijk = np.asarray(g.ijk)
+        i_cell = ijk // nyz
+        shard = np.searchsorted(np.cumsum(self.widths), i_cell, side="right")
+        shard = np.where(n > 0, shard, -1)
+
+        per_sd = {}
+        counts = [(shard == s).sum() for s in range(self.n_shards)]
+        if max(counts) > self._cap:
+            raise RuntimeError(
+                f"libcloudphxx: shard SD count {max(counts)} exceeds the "
+                f"per-device capacity {self._cap}; raise n_sd_max"
+            )
+        sel = [np.nonzero(shard == s)[0] for s in range(self.n_shards)]
+        for f in dataclasses.fields(State):
+            name = f.name
+            v = np.asarray(getattr(g, name))
+            if name in decomp.MIGRATING_ATTRS or name == "ijk":
+                out = np.zeros((self.n_shards, self._cap), v.dtype)
+                for s in range(self.n_shards):
+                    vv = v[sel[s]]
+                    if name == "x":
+                        vv = vv - self.offs[s] * cfg.dx
+                    elif name == "ijk":
+                        # local ravel keeps the i-stride (ny*nz), so the
+                        # slab shift is a plain offset (i outermost)
+                        vv = vv - self.offs[s] * nyz
+                    out[s, :counts[s]] = vv
+                per_sd[name] = jnp.asarray(out.reshape(-1))
+            elif name == "chem":
+                per_sd[name] = jnp.zeros((8, 0))
+            elif name == "key":
+                keys = np.stack([
+                    np.asarray(jax.random.fold_in(g.key, s))
+                    for s in range(self.n_shards)])
+                per_sd[name] = jnp.asarray(keys.reshape(-1))
+            elif name == "puddle":
+                per_sd[name] = jnp.zeros(
+                    (self.n_shards * np.asarray(g.puddle).shape[0],))
+            elif name == "courant_x":
+                per_sd[name] = jnp.asarray(self._pad_courant_x(v))
+            elif name == "courant_y":
+                per_sd[name] = jnp.asarray(np.zeros((0,)))
+            elif name == "courant_z":
+                per_sd[name] = jnp.asarray(self._pad_courant_z(v))
+            elif name in ("ambient_chem", "sstp_tmp_chem"):
+                per_sd[name] = jnp.zeros((6, 0))
+            elif name == "sstp_tmp_p" and v.size == 0:
+                per_sd[name] = jnp.zeros((0,))
+            else:  # per-cell arrays
+                per_sd[name] = jnp.asarray(self._pad_cell(v))
+        merged = State(**per_sd)
+        return jax.device_put(merged, self._sharding)
+
+    # ------------------------------------------------------------------ init
+    def init(self, th, rv, rhod, p=None, courant_x=None, courant_y=None,
+             courant_z=None, ambient_chem=None, Cx=None, Cy=None, Cz=None):
+        super().init(th, rv, rhod, p=p, courant_x=courant_x,
+                     courant_y=courant_y, courant_z=courant_z,
+                     ambient_chem=ambient_chem, Cx=Cx, Cy=Cy, Cz=Cz)
+        # scatter the global population to its slabs (each shard holds a
+        # fixed capacity of self._cap slots)
+        self.state = self._shard_state(self.state)
+
+    # ------------------------------------------------ sharded device hooks
+    def _shmap(self, name, fn, n_extra, cell_out=False):
+        """Cache a shard_map'd jit of fn(state, *extras)."""
+        key = name
+        if key not in self._shard_jits:
+            spec = decomp.state_specs()
+            out_spec = P("x") if cell_out else spec
+            wrapped = jax.jit(jax.shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(spec,) + (P(),) * n_extra,
+                out_specs=out_spec,
+            ))
+            self._shard_jits[key] = wrapped
+        return self._shard_jits[key]
+
+    def _step_cond_impl(self, state, dt, RH_max, turb_cond, ice_nucl,
+                        do_cond):
+        from ..lgrngn import condensation
+        cfg_l = self.cfg_l
+
+        dom = self.dom
+
+        def fn(st, dom_, dt_, rhmax):
+            st = decomp.xchng_courants(cfg_l, st, dom_)
+            st = hskpng.hskpng_Tpr(cfg_l, st)
+            if cfg_l.ice_switch and ice_nucl:
+                from ..lgrngn import ice as ice_mod
+                st = ice_mod.ice_nucl_melt(cfg_l, st, dt_,
+                                           cfg_l.time_dep_ice_nucl)
+                st = hskpng.hskpng_Tpr(cfg_l, st)
+            if do_cond:
+                st = condensation.cond_percell(cfg_l, st, dt_, rhmax,
+                                               turb_cond=turb_cond)
+                st = condensation.sstp_save(st,
+                                            exact=cfg_l.exact_sstp_cond)
+            return st
+
+        key = ("cond", turb_cond, ice_nucl, do_cond)
+        if key not in self._shard_jits:
+            spec = decomp.state_specs()
+            dom_spec = decomp.ShardDomain(lo=P("x"), hi=P("x"), nxl=P("x"))
+            self._shard_jits[key] = jax.jit(jax.shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(spec, dom_spec, P(), P()),
+                out_specs=spec))
+        return self._shard_jits[key](state, self.dom, dt, RH_max)
+
+    def _step_async_impl(self, sstp_coal, switches, state, params, w_LS,
+                         sgs_mix_len, dt):
+        cfg_l = self.cfg_l
+        buf = max(16, self._cap // 4)
+        step = decomp.sharded_async_step(cfg_l, sstp_coal, buf, switches)
+
+        def fn(st, dom, params_, w_LS_, sgs_, dt_):
+            return step(st, dom, params_, w_LS_, sgs_, dt_)
+
+        key = ("async", sstp_coal, switches)
+        if key not in self._shard_jits:
+            spec = decomp.state_specs()
+            dom_spec = decomp.ShardDomain(lo=P("x"), hi=P("x"), nxl=P("x"))
+            self._shard_jits[key] = jax.jit(jax.shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(spec, dom_spec, P(), P(), P(), P()),
+                out_specs=spec,
+            ))
+        return self._shard_jits[key](state, self.dom, params, w_LS,
+                                     sgs_mix_len, dt)
+
+    def _tpr_impl(self):
+        cfg_l = self.cfg_l
+        return self._shmap(
+            "tpr", lambda st: hskpng.hskpng_Tpr(cfg_l, st), 0)(self.state)
+
+    def _moms_calc_impl(self, power, n_filtered, attr):
+        cfg_l = self.cfg_l
+        power = float(power)
+
+        def fn(st, nf, at):
+            return hskpng.segment_moment(
+                cfg_l, nf, at, power, st.ijk,
+                dv=st.dv, rhod=st.rhod, specific=True)
+
+        key = ("moms", power)
+        if key not in self._shard_jits:
+            spec = decomp.state_specs()
+            self._shard_jits[key] = jax.jit(jax.shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(spec, P("x"), P("x")),
+                out_specs=P("x")))
+        return self._shard_jits[key](self.state, n_filtered, attr)
+
+    def _sd_count_impl(self, n_filtered):
+        cfg_l = self.cfg_l
+
+        def fn(st, nf):
+            return hskpng.sd_count_per_cell(cfg_l, nf, st.ijk)
+
+        key = "sd_count"
+        if key not in self._shard_jits:
+            spec = decomp.state_specs()
+            self._shard_jits[key] = jax.jit(jax.shard_map(
+                fn, mesh=self.mesh, in_specs=(spec, P("x")),
+                out_specs=P("x")))
+        return self._shard_jits[key](self.state, n_filtered)
+
+    def _segment_max_impl(self, vals):
+        cfg_l = self.cfg_l
+
+        def fn(st, v):
+            mx = jax.ops.segment_max(v, st.ijk,
+                                     num_segments=cfg_l.n_cell)
+            return jnp.maximum(mx, 0.0)
+
+        key = "segmax"
+        if key not in self._shard_jits:
+            spec = decomp.state_specs()
+            self._shard_jits[key] = jax.jit(jax.shard_map(
+                fn, mesh=self.mesh, in_specs=(spec, P("x")),
+                out_specs=P("x")))
+        return self._shard_jits[key](self.state, vals)
+
+    def _mass_dens_impl(self, n_filtered, rad, sig0):
+        from ..lgrngn.particles import _mass_dens_jit
+        cfg_l = self.cfg_l
+
+        def fn(st, nf, rad_, sig_):
+            return _mass_dens_jit(cfg_l, st, nf, rad_, sig_)
+
+        key = "mass_dens"
+        if key not in self._shard_jits:
+            spec = decomp.state_specs()
+            self._shard_jits[key] = jax.jit(jax.shard_map(
+                fn, mesh=self.mesh, in_specs=(spec, P("x"), P(), P()),
+                out_specs=P("x")))
+        return self._shard_jits[key](self.state, n_filtered,
+                                     jnp.asarray(rad), jnp.asarray(sig0))
+
+    def _precip_rate_impl(self, ice: bool):
+        from ..lgrngn import vterm as vterm_mod
+        cfg_l = self.cfg_l
+
+        def fn(st, nf):
+            st = hskpng.hskpng_Tpr(cfg_l, st)
+            st = vterm_mod.hskpng_vterm_all(cfg_l, st)
+            if ice:
+                from ..lgrngn import ice as ice_mod
+                vals = ice_mod.ice_mass(st.ice_a, st.ice_c, st.ice_rho)
+            else:
+                vals = st.rw2 ** 1.5
+            return jax.ops.segment_sum(nf * vals * st.vt, st.ijk,
+                                       num_segments=cfg_l.n_cell)
+
+        key = ("precip", ice)
+        if key not in self._shard_jits:
+            spec = decomp.state_specs()
+            self._shard_jits[key] = jax.jit(jax.shard_map(
+                fn, mesh=self.mesh, in_specs=(spec, P("x")),
+                out_specs=P("x")))
+        return self._shard_jits[key](self.state, self._n_filtered)
+
+    # ----------------------------------------------------- host data paths
+    def sync_in(self, th=None, rv=None, rhod=None, courant_x=None,
+                courant_y=None, courant_z=None, ambient_chem=None,
+                diss_rate=None):
+        if not self._init_called:
+            raise RuntimeError(
+                "libcloudphxx: please call init() before calling step_sync()"
+            )
+        if self._should_now_run_async:
+            raise RuntimeError(
+                "libcloudphxx: please call step_async() before calling "
+                "step_sync() again"
+            )
+        n_cell = self.cfg.n_cell
+        updates = {}
+        from ..lgrngn.particles import _as_flat
+        for name, arr in (("th", th), ("rv", rv), ("rhod", rhod),
+                          ("diss_rate", diss_rate)):
+            a = _as_flat(arr, n_cell, name)
+            if a is not None:
+                updates[name] = jnp.asarray(self._pad_cell(a))
+        if courant_x is not None:
+            updates["courant_x"] = jnp.asarray(self._pad_courant_x(
+                np.asarray(courant_x, np.float64).reshape(-1)))
+        if courant_z is not None:
+            updates["courant_z"] = jnp.asarray(self._pad_courant_z(
+                np.asarray(courant_z, np.float64).reshape(-1)))
+        if ambient_chem:
+            raise RuntimeError(
+                "libcloudphxx: chemistry unsupported on the device mesh")
+        if updates:
+            self.state = jax.device_put(
+                dataclasses.replace(self.state, **updates), self._sharding)
+        self._should_now_run_cond = True
+
+    def step_async(self, opts):
+        if opts.src or opts.rlx:
+            raise RuntimeError(
+                "libcloudphxx: aerosol source/relaxation are not supported "
+                "on the device mesh yet"
+            )
+        super().step_async(opts)
+
+    # ---------------------------------------------------------- diag output
+    def _cell_to_host(self, arr):
+        return self._unpad_cell(arr)
+
+    def _set_outbuf(self, per_cell):
+        self._outbuf = self._unpad_cell(per_cell)
+
+    def diag_puddle(self):
+        self._require_init()
+        vals = np.asarray(self.state.puddle).reshape(self.n_shards, -1)
+        return dict(zip(PUDDLE_KEYS, vals.sum(axis=0).tolist()))
+
+    def migration_overflow(self):
+        """Total migration-buffer overflow count across shards (a loud
+        health check; the reference hard-asserts its buffer capacity)."""
+        vals = np.asarray(self.state.puddle).reshape(self.n_shards, -1)
+        return float(vals[:, -1].sum())
+
+    def get_attr(self, name):
+        self._require_init()
+        v = super().get_attr(name)
+        if name == "x":
+            v = v.reshape(self.n_shards, self._cap) \
+                + (self.offs * self.cfg.dx)[:, None]
+            n = np.asarray(self.state.n).reshape(self.n_shards, self._cap)
+            v = np.where(n > 0, v, 0.0).reshape(-1)
+        return v

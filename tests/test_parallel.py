@@ -1,8 +1,11 @@
 """Multi-chip domain decomposition tests on the virtual 8-device CPU mesh.
 
-Mirrors the reference's MPI advection test strategy
-(tests/mpi/mpi_adve_test.cpp:69-110): advect SDs across shard boundaries in
-both directions and assert global SD-count/position conservation.
+Mirrors the reference's MPI test strategy (tests/mpi/mpi_adve_test.cpp:69-110:
+oversubscribed multi-rank advection with UNEVEN per-rank nx — nx = rank+2 —
+asserting global SD count/position conservation in both directions), plus
+multi-step full-process equivalence between the device-mesh front-end
+(parallel/multi.py) and the serial backend through the public particles_t
+API.
 """
 
 import dataclasses
@@ -11,9 +14,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+from jax.sharding import PartitionSpec as P
 
 from libcloudphxx_tpu import lgrngn, parallel
-from libcloudphxx_tpu.lgrngn.state import OUT_MIGRATION_OVERFLOW, StaticConfig, empty_state
+from libcloudphxx_tpu.lgrngn.state import (OUT_MIGRATION_OVERFLOW,
+                                           StaticConfig, empty_state)
 
 N_DEV = 8
 
@@ -34,124 +39,242 @@ def make_cfg(nx=16, nz=4, n_sd=256, **kw):
     return StaticConfig.from_opts_init(oi)
 
 
+def test_slab_widths_uneven():
+    assert parallel.slab_widths(16, 8) == [2] * 8
+    assert parallel.slab_widths(14, 4) == [4, 4, 3, 3]
+    assert sum(parallel.slab_widths(61, 8)) == 61
+
+
 def test_local_config_split():
     cfg = make_cfg()
     cfg_l = parallel.local_config(cfg, N_DEV)
     assert cfg_l.nx == cfg.nx // N_DEV
     assert cfg_l.n_sd_max == cfg.n_sd_max // N_DEV
     assert cfg_l.x0 == 0.0
-    assert cfg_l.x1 == pytest.approx((cfg.x1 - cfg.x0) / N_DEV)
+    # padded local domain: nx_pad * dx
+    assert cfg_l.x1 == pytest.approx(cfg_l.nx * cfg.dx)
 
 
-def _build_shard_state(shard, cfg_l, rng, drift):
-    """One shard's local state: a few live SDs at random local positions."""
+def _mesh_step(cfg, widths, fn_builder, states):
+    """Run fn(state, dom) under shard_map for hand-built shard states."""
+    mesh = parallel.make_mesh(len(widths))
+    cfg_l = parallel.local_config(cfg, len(widths), widths)
+    state = parallel.replicate_state_for_mesh(cfg, mesh,
+                                              lambda s, c: states[s], widths)
+    dom = parallel.device_put_domains(cfg, mesh, widths)
+    spec = parallel.state_specs()
+    dom_spec = parallel.ShardDomain(lo=P("x"), hi=P("x"), nxl=P("x"))
+    fn = fn_builder(cfg_l)
+    stepped = jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(spec, dom_spec), out_specs=spec,
+    ))(state, dom)
+    return cfg_l, stepped
+
+
+def _hand_state(cfg_l, n_live, x, z, ids):
     st = empty_state(cfg_l)
-    n_live = 8
-    x = rng.uniform(0, cfg_l.x1, n_live)
-    z = rng.uniform(0.5, cfg_l.z1 - 0.5, n_live)
     n = np.zeros(cfg_l.n_sd_max)
-    n[:n_live] = shard * 100 + np.arange(1, n_live + 1)  # traceable ids
+    n[:n_live] = ids
     xs = np.zeros(cfg_l.n_sd_max)
     xs[:n_live] = x
     zs = np.zeros(cfg_l.n_sd_max)
     zs[:n_live] = z
     ijk = (xs / cfg_l.dx).astype(np.int32) * cfg_l.nz + \
         (zs / cfg_l.dz).astype(np.int32)
-    st = dataclasses.replace(
+    return dataclasses.replace(
         st,
-        n=jnp.asarray(n),
-        x=jnp.asarray(xs),
-        z=jnp.asarray(zs),
+        n=jnp.asarray(n), x=jnp.asarray(xs), z=jnp.asarray(zs),
         rd3=jnp.full(cfg_l.n_sd_max, 1e-21),
         rw2=jnp.full(cfg_l.n_sd_max, 1e-12),
         kpa=jnp.full(cfg_l.n_sd_max, 0.61),
-        ijk=jnp.asarray(np.where(n > 0, ijk, 0), jnp.int32),
-        th=jnp.full(cfg_l.n_cell, 300.0),
-        rv=jnp.full(cfg_l.n_cell, 5e-3),
+        ijk=jnp.asarray(np.where(n > 0, ijk, 0), np.int32),
+        th=jnp.full(cfg_l.n_cell, 290.0),
+        rv=jnp.full(cfg_l.n_cell, 7e-3),
         rhod=jnp.ones(cfg_l.n_cell),
-        dv=jnp.ones(cfg_l.n_cell),
-    )
-    return st
-
-
-@pytest.mark.parametrize("direction", [+1.0, -1.0])
-def test_migration_conserves_sds(direction):
-    # every SD drifts `direction` cells per step; after nx steps each SD has
-    # crossed every shard boundary and wrapped the ring exactly once
-    mesh = parallel.make_mesh(N_DEV)
-    cfg = make_cfg()
-    cfg_l = parallel.local_config(cfg, N_DEV)
-    rng = np.random.default_rng(7)
-    state = parallel.replicate_state_for_mesh(
-        cfg, mesh, lambda s, c: _build_shard_state(s, c, rng, direction)
+        dv=jnp.full(cfg_l.n_cell, cfg_l.dx * cfg_l.dy * cfg_l.dz),
     )
 
-    total_n0 = float(jnp.sum(state.n))
-    ids0 = np.sort(np.asarray(state.n[state.n > 0]))
 
-    buf = cfg_l.n_sd_max // 2
+@pytest.mark.parametrize("direction", [+1, -1])
+def test_migration_uneven_widths_conserves(direction):
+    """mpi_adve_test port: uneven slabs (widths s+2), drift all SDs by a
+    fixed displacement, migrate, and assert global multiplicity/position
+    conservation (mpi_adve_test.cpp:92 uses nx = rank+2)."""
+    widths = [s + 2 for s in range(4)]           # [2, 3, 4, 5]
+    nx = sum(widths)
+    cfg = make_cfg(nx=nx, nz=4, n_sd=4 * 16)
+    rng = np.random.default_rng(1)
 
-    def drift_and_migrate(st):
-        st = dataclasses.replace(st, x=st.x + direction * cfg_l.dx)
-        return parallel.migrate(cfg_l, st, buf)
+    states, glob_x = [], []
+    cfg_l0 = parallel.local_config(cfg, 4, widths)
+    offs = np.concatenate([[0], np.cumsum(widths)])[:-1]
+    for s in range(4):
+        n_live = 6
+        x = rng.uniform(0, widths[s] * cfg.dx, n_live)
+        z = rng.uniform(0.5, cfg.nz - 0.5, n_live)
+        ids = s * 100 + np.arange(1, n_live + 1)
+        states.append(_hand_state(cfg_l0, n_live, x, z, ids))
+        glob_x.append(x + offs[s] * cfg.dx)
 
-    from jax.sharding import PartitionSpec as P
-    spec = jax.tree_util.tree_map(
-        lambda _: P("x"), parallel.decomp._state_specs()
-    )
-    step = jax.jit(jax.shard_map(
-        drift_and_migrate, mesh=mesh, in_specs=(spec,), out_specs=spec,
-    ))
+    drift = direction * 0.7 * cfg.dx
 
-    for _ in range(cfg.nx):
-        state = step(state)
+    def builder(cfg_l):
+        def fn(st, dom):
+            st = dataclasses.replace(st, x=jnp.where(st.n > 0,
+                                                     st.x + drift, st.x))
+            return parallel.migrate(cfg_l, st, dom, buf=8)
+        return fn
 
-    assert float(jnp.sum(state.n)) == pytest.approx(total_n0)
-    ids1 = np.sort(np.asarray(state.n[state.n > 0]))
-    assert (ids0 == ids1).all()
-    # overflow counter untouched
-    assert float(jnp.sum(state.puddle[..., OUT_MIGRATION_OVERFLOW])) == 0.0
-    # every SD is back in its original shard at its original local position
-    # (a full ring traversal)
-    x1 = np.asarray(state.x)[np.asarray(state.n) > 0]
-    assert ((x1 >= 0) & (x1 < cfg_l.x1)).all()
+    cfg_l, out = _mesh_step(cfg, widths, builder, states)
 
-
-def test_full_multichip_step_compiles_and_runs():
-    mesh = parallel.make_mesh(N_DEV)
-    cfg = make_cfg(nz=8)
-    step, cfg_l = parallel.build_multichip_step(mesh, cfg, sstp_coal=1)
-    rng = np.random.default_rng(3)
-    state = parallel.replicate_state_for_mesh(
-        cfg, mesh, lambda s, c: _build_shard_state(s, c, rng, 0.0)
-    )
-    params = jnp.zeros((1,))
-    out = step(state, params, 1.0, 44.0)
-    assert bool(jnp.all(jnp.isfinite(out.th)))
-    assert bool(jnp.all(jnp.isfinite(out.rw2)))
-    assert float(jnp.sum(out.n)) > 0
+    n_out = np.asarray(out.n).reshape(4, -1)
+    x_out = np.asarray(out.x).reshape(4, -1)
+    # global conservation of multiplicity (ids double as multiplicities)
+    ids_in = sorted(np.concatenate([np.asarray(s.n)[np.asarray(s.n) > 0]
+                                    for s in states]).tolist())
+    ids_out = sorted(n_out[n_out > 0].tolist())
+    assert ids_in == ids_out
+    # exact global positions: local + slab offset, wrapped periodically
+    expected = np.sort(np.mod(np.concatenate(glob_x) + drift,
+                              nx * cfg.dx))
+    got = np.sort(np.concatenate(
+        [x_out[s][n_out[s] > 0] + offs[s] * cfg.dx for s in range(4)]))
+    np.testing.assert_allclose(got, expected, rtol=0, atol=1e-12)
+    # everyone ended up inside their slab
+    for s in range(4):
+        live = n_out[s] > 0
+        assert (x_out[s][live] >= 0).all()
+        assert (x_out[s][live] < widths[s] * cfg.dx).all()
 
 
 def test_migration_overflow_is_loud():
-    mesh = parallel.make_mesh(N_DEV)
-    cfg = make_cfg()
-    cfg_l = parallel.local_config(cfg, N_DEV)
-    rng = np.random.default_rng(11)
-    state = parallel.replicate_state_for_mesh(
-        cfg, mesh, lambda s, c: _build_shard_state(s, c, rng, 1.0)
-    )
-    # buffer of 2 but 8 movers per shard -> overflow must be counted
-    from jax.sharding import PartitionSpec as P
-    spec = jax.tree_util.tree_map(
-        lambda _: P("x"), parallel.decomp._state_specs()
-    )
+    widths = [2, 2]
+    cfg = make_cfg(nx=4, nz=4, n_sd=2 * 16)
+    cfg_l0 = parallel.local_config(cfg, 2, widths)
+    # 10 SDs all moving right but buf=2
+    states = [
+        _hand_state(cfg_l0, 10, np.full(10, 1.6), np.full(10, 1.5),
+                    np.arange(1, 11)),
+        _hand_state(cfg_l0, 0, np.zeros(0), np.zeros(0), np.zeros(0)),
+    ]
 
-    def drift_and_migrate(st):
-        st = dataclasses.replace(st, x=st.x + cfg_l.x1)  # everyone leaves
-        return parallel.migrate(cfg_l, st, 2)
+    def builder(cfg_l):
+        def fn(st, dom):
+            st = dataclasses.replace(st, x=jnp.where(st.n > 0, st.x + 0.5,
+                                                     st.x))
+            return parallel.migrate(cfg_l, st, dom, buf=2)
+        return fn
 
-    step = jax.jit(jax.shard_map(
-        drift_and_migrate, mesh=mesh, in_specs=(spec,), out_specs=spec,
-    ))
-    out = step(state)
-    assert float(jnp.sum(out.puddle[..., OUT_MIGRATION_OVERFLOW])) > 0
+    _, out = _mesh_step(cfg, widths, builder, states)
+    ovf = np.asarray(out.puddle).reshape(2, -1)[:, OUT_MIGRATION_OVERFLOW]
+    assert ovf.sum() == 8  # 10 movers, 2 buffer slots
+
+
+# --------------------------------------------------------------------------
+# public-API equivalence: device mesh vs serial backend
+# --------------------------------------------------------------------------
+
+def _build_api(dev_count, nx=14, nz=6):
+    def lognormal(lnr):
+        return (60e6 * np.exp(-(lnr - np.log(0.02e-6)) ** 2
+                              / 2 / np.log(1.4) ** 2)
+                / np.log(1.4) / np.sqrt(2 * np.pi))
+    oi = lgrngn.opts_init_t()
+    oi.nx, oi.nz = nx, nz
+    oi.dx = oi.dz = 25.0
+    oi.x1, oi.z1 = nx * 25.0, nz * 25.0
+    oi.dt = 1.0
+    oi.sd_conc = 24
+    oi.n_sd_max = nx * nz * 24 * 2
+    oi.dry_distros = {(0.61, 0.0): lognormal}
+    oi.terminal_velocity = lgrngn.vt_t.beard77fast
+    oi.kernel = lgrngn.kernel_t.geometric
+    oi.dev_count = dev_count
+    backend = (lgrngn.backend_t.multi_CUDA if dev_count > 1
+               else lgrngn.backend_t.serial)
+    prt = lgrngn.factory(backend, oi)
+
+    th = np.full((nx, nz), 289.99)
+    rv = np.full((nx, nz), 7.5e-3)
+    rhod = np.full((nx, nz), 1.12)
+    # a flow with both directions and some vertical motion
+    x_f = np.arange(nx + 1)[:, None]
+    Cx = 0.4 * np.cos(2 * np.pi * x_f / nx) + np.zeros((1, nz))
+    Cz = 0.08 * np.ones((nx, nz + 1))
+    prt.init(th.copy(), rv.copy(), rhod, Cx=Cx, Cz=Cz)
+    return prt, th, rv
+
+
+@pytest.mark.parametrize("nsteps", [6])
+def test_multichip_equals_serial_full_process(nsteps):
+    """K full steps (cond + adve + sedi, coal off for RNG-independence)
+    through the public API: the 4-shard uneven mesh must reproduce the
+    serial run's fields, SD population and puddle (the reference's
+    mpi_adve_test checks counts/positions; here the whole process set)."""
+    prt_s, th_s, rv_s = _build_api(1)
+    prt_m, th_m, rv_m = _build_api(4)
+    assert type(prt_m).__name__ == "particles_multi_t"
+    assert prt_m.widths == [4, 4, 3, 3]
+
+    opts = lgrngn.opts_t()
+    opts.coal = False
+    for _ in range(nsteps):
+        prt_s.step_sync(opts, th_s, rv_s)
+        prt_s.step_async(opts)
+        prt_m.step_sync(opts, th_m, rv_m)
+        prt_m.step_async(opts)
+
+    np.testing.assert_allclose(th_m, th_s, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(rv_m, rv_s, rtol=0, atol=1e-12)
+
+    for p in (prt_s, prt_m):
+        p.diag_all()
+        p.diag_sd_conc()
+    sd_s = prt_s.outbuf()
+    prt_m.diag_all()
+    prt_m.diag_sd_conc()
+    sd_m = prt_m.outbuf()
+    np.testing.assert_array_equal(sd_m, sd_s)
+
+    # per-SD population: same multiset of (x, z, n, rw2)
+    def popul(p):
+        n = p.get_attr("n")
+        live = n > 0
+        cols = np.stack([p.get_attr("x")[live], p.get_attr("z")[live],
+                         n[live], p.get_attr("rw2")[live]])
+        return cols[:, np.lexsort(cols)]
+    pop_s, pop_m = popul(prt_s), popul(prt_m)
+    assert pop_s.shape == pop_m.shape
+    np.testing.assert_allclose(pop_m, pop_s, rtol=1e-9, atol=1e-12)
+
+    pud_s, pud_m = prt_s.diag_puddle(), prt_m.diag_puddle()
+    for k in pud_s:
+        assert pud_m[k] == pytest.approx(pud_s[k], rel=1e-9, abs=1e-30)
+
+    # wet moments agree too (diag reduction path)
+    for p in (prt_s, prt_m):
+        p.diag_all()
+        p.diag_wet_mom(3)
+    np.testing.assert_allclose(prt_m.outbuf(), prt_s.outbuf(),
+                               rtol=1e-8, atol=1e-40)
+    assert prt_m.migration_overflow() == 0
+
+
+def test_multichip_courant_halo_matters():
+    """An SD in a slab's last cell advects with the face courant owned by
+    the right neighbour — with a broken halo its trajectory would be wrong
+    (reference xchng_courants.ipp)."""
+    prt_m, th, rv = _build_api(4)
+    prt_s, th_s, rv_s = _build_api(1)
+    opts = lgrngn.opts_t()
+    opts.coal = False
+    opts.cond = False
+    opts.sedi = False
+    for _ in range(3):
+        prt_s.step_sync(opts, th_s, rv_s)
+        prt_s.step_async(opts)
+        prt_m.step_sync(opts, th, rv)
+        prt_m.step_async(opts)
+    xs = np.sort(prt_s.get_attr("x")[prt_s.get_attr("n") > 0])
+    xm = np.sort(prt_m.get_attr("x")[prt_m.get_attr("n") > 0])
+    np.testing.assert_allclose(xm, xs, rtol=0, atol=1e-10)
