@@ -112,6 +112,32 @@ def _dist_analysis_const_multi(fun):
     return float(lnr[above[0]]), float(lnr[above[-1]])
 
 
+def _sample_const_multi(fun, log_lo, log_hi, multi, oi, cfg, dv_host,
+                        rhod_host, rng):
+    """Constant-multiplicity sampling over [log_lo, log_hi], vectorized over
+    all cells (reference init_count_num_const_multi + init_dry_const_multi):
+    per-cell SD count = round(integral * dv * rhod/rho_stp / multi), ln(rd)
+    drawn by inverse-CDF sampling.  Returns (lnrd, multiplicity, ijk)."""
+    n_cell = cfg.n_cell
+    lnr = np.linspace(log_lo, log_hi, 10001)
+    vals = _eval_distro(fun, lnr)
+    conc = np.trapezoid(vals, lnr)  # [1/m3] @ STP
+
+    n_in_cell = conc * np.asarray(dv_host, float)
+    if not oi.aerosol_independent_of_rhod:
+        n_in_cell = n_in_cell * np.asarray(rhod_host) / c.rho_stp
+    counts = np.floor(n_in_cell / multi + 0.5).astype(np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return (np.zeros(0), np.zeros(0), np.zeros(0, np.int64))
+    ijk = np.repeat(np.arange(n_cell, dtype=np.int64), counts)
+    cdf = np.concatenate([[0.0], np.cumsum(
+        0.5 * (vals[1:] + vals[:-1]) * np.diff(lnr))])
+    cdf /= cdf[-1]
+    lnrd = np.interp(rng.random(total), cdf, lnr)
+    return lnrd, np.full(total, float(multi)), ijk
+
+
 def init_SD(cfg: StaticConfig, oi, state: State, rng: np.random.Generator,
             rhod_host: np.ndarray) -> State:
     """Create the initial super-droplet population in ``state``'s
@@ -178,50 +204,53 @@ def init_SD(cfg: StaticConfig, oi, state: State, rng: np.random.Generator,
             ijk_l.append(np.repeat(np.arange(n_cell), count))
             insol_l.append(np.full(n_cell * count, rd_insol))
 
+            if oi.sd_conc_large_tail:
+                # --- large-tail extension: multiplicity-1 SDs sampled from
+                # the distribution tail above the sd_conc range
+                # (init_SD_with_distros_tail.ipp: const_multi=1 particles
+                # over [log_rd_max_sd_conc, log_rd_max_const_multi])
+                _, tail_hi = _dist_analysis_const_multi(fun)
+                if tail_hi > log_hi:
+                    t_lnrd, t_n, t_ijk = _sample_const_multi(
+                        fun, log_hi, tail_hi, 1, oi, cfg, dv_host,
+                        rhod_host, rng)
+                    lnrd_l.append(t_lnrd)
+                    n_l.append(t_n)
+                    kpa_l.append(np.full(t_lnrd.size, kappa))
+                    ijk_l.append(t_ijk)
+                    insol_l.append(np.full(t_lnrd.size, rd_insol))
+
     elif oi.dry_distros and oi.sd_const_multi > 0:
         # --- const-multi mode (init_SD_with_distros_const_multi.ipp)
         for key, fun in oi.dry_distros.items():
             kappa, rd_insol = key_parts(key)
             log_lo, log_hi = _dist_analysis_const_multi(fun)
-            # expected total number of particles in each cell / multiplicity
-            # via trapezoid integral of n(lnrd)
-            lnr = np.linspace(log_lo, log_hi, 10001)
-            vals = _eval_distro(fun, lnr)
-            conc = np.trapezoid(vals, lnr)  # [1/m3] @ STP
-            for cell in range(n_cell):
-                n_in_cell = conc * dv_host[cell]
-                if not oi.aerosol_independent_of_rhod:
-                    n_in_cell *= float(rhod_host[cell]) / c.rho_stp
-                count = int(n_in_cell / oi.sd_const_multi + 0.5)
-                if count == 0:
-                    continue
-                # inverse-CDF sampling of lnrd
-                cdf = np.concatenate([[0.0], np.cumsum(
-                    0.5 * (vals[1:] + vals[:-1]) * np.diff(lnr))])
-                cdf /= cdf[-1]
-                lnrd = np.interp(rng.random(count), cdf, lnr)
-                lnrd_l.append(lnrd)
-                n_l.append(np.full(count, float(oi.sd_const_multi)))
-                kpa_l.append(np.full(count, kappa))
-                ijk_l.append(np.full(count, cell, dtype=np.int64))
-                insol_l.append(np.full(count, rd_insol))
+            lnrd, mlt, ijk = _sample_const_multi(
+                fun, log_lo, log_hi, oi.sd_const_multi, oi, cfg, dv_host,
+                rhod_host, rng)
+            lnrd_l.append(lnrd)
+            n_l.append(mlt)
+            kpa_l.append(np.full(lnrd.size, kappa))
+            ijk_l.append(ijk)
+            insol_l.append(np.full(lnrd.size, rd_insol))
 
     if oi.dry_sizes:
-        # --- dry_sizes mode (init_SD_with_sizes.ipp)
+        # --- dry_sizes mode (init_SD_with_sizes.ipp); vectorized over cells
         for key, sizes in oi.dry_sizes.items():
             kappa, rd_insol = key_parts(key)
             for radius, (conc, sd_count) in sizes.items():
                 sd_count = int(sd_count)
-                for cell in range(n_cell):
-                    number = conc * dv_host[cell]
-                    if not oi.aerosol_independent_of_rhod:
-                        number *= float(rhod_host[cell]) / c.rho_stp
-                    multiplicity = math.floor(number / sd_count + 0.5)
-                    lnrd_l.append(np.full(sd_count, math.log(radius)))
-                    n_l.append(np.full(sd_count, float(multiplicity)))
-                    kpa_l.append(np.full(sd_count, kappa))
-                    ijk_l.append(np.full(sd_count, cell, dtype=np.int64))
-                    insol_l.append(np.full(sd_count, rd_insol))
+                number = conc * dv_host
+                if not oi.aerosol_independent_of_rhod:
+                    number = number * np.asarray(rhod_host) / c.rho_stp
+                # per-cell multiplicity, repeated over the sd_count slots
+                multiplicity = np.floor(number / sd_count + 0.5)
+                total = n_cell * sd_count
+                lnrd_l.append(np.full(total, math.log(radius)))
+                n_l.append(np.repeat(multiplicity, sd_count))
+                kpa_l.append(np.full(total, kappa))
+                ijk_l.append(np.repeat(np.arange(n_cell), sd_count))
+                insol_l.append(np.full(total, rd_insol))
 
     if not lnrd_l:
         raise ValueError(

@@ -449,6 +449,9 @@ class particles_t:
             )
             if opts.chem_dsl:
                 self._chem_sync_out(ambient_chem)
+        from ..utils import debug as _dbg
+        if _dbg.enabled():
+            _dbg.nancheck_state(self.state, "step_cond")
         self._should_now_run_async = True
 
     def step_sync(self, opts: opts_t, th, rv, rhod=None, courant_x=None,
@@ -541,6 +544,9 @@ class particles_t:
                  do_turb_cond, do_rcyc, do_turb_coal),
                 self.state, params, w_LS, sgs_mix_len, dt,
             )
+        from ..utils import debug as _dbg
+        if _dbg.enabled():
+            _dbg.nancheck_state(self.state, "step_async")
 
     def _apply_sources(self, opts, dt):
         state = _tpr_jit(self.cfg, self.state)
@@ -838,6 +844,46 @@ class particles_t:
         self._check_selected()
         self._set_outbuf(self._moms_calc_impl(
             1.0, self._n_filtered, self.state.chem[int(species)]))
+
+    # -------------------------------------------------- checkpoint/resume
+    def save(self, path):
+        """Full-state checkpoint: every State leaf (plus the call-order
+        machine) to one npz.  The reference has no library-level
+        checkpointing (host models reach state via get_attr, SURVEY
+        section 5); here the pytree state makes it first-class."""
+        self._require_init()
+        leaves = {f.name: np.asarray(getattr(self.state, f.name))
+                  for f in dataclasses.fields(State)}
+        leaves["__flags__"] = np.array([
+            self._init_called, self._should_now_run_cond,
+            self._should_now_run_async], dtype=bool)
+        leaves["__counters__"] = np.array([self._src_ctr, self._rlx_ctr])
+        np.savez_compressed(path, **leaves)
+
+    def load(self, path):
+        """Restore a checkpoint written by save() into this instance
+        (opts_init must match the one used at save time)."""
+        with np.load(path) as d:
+            cur = self.state
+            leaves = {}
+            for f in dataclasses.fields(State):
+                ref = getattr(cur, f.name)
+                leaves[f.name] = jnp.asarray(d[f.name], ref.dtype)
+                if leaves[f.name].shape != ref.shape:
+                    raise ValueError(
+                        f"lgrngn load: shape mismatch for {f.name} "
+                        f"({leaves[f.name].shape} vs {ref.shape}) — "
+                        "was the checkpoint written with other opts_init?")
+            flags = d["__flags__"]
+            ctrs = d["__counters__"]
+        self.state = self._put_state(State(**leaves))
+        self._init_called = bool(flags[0])
+        self._should_now_run_cond = bool(flags[1])
+        self._should_now_run_async = bool(flags[2])
+        self._src_ctr, self._rlx_ctr = int(ctrs[0]), int(ctrs[1])
+
+    def _put_state(self, state):
+        return state
 
     def diag_puddle(self):
         """(reference particles_impl_bcnd.ipp puddle accumulators)"""

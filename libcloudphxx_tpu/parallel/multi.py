@@ -384,6 +384,9 @@ class particles_multi_t(particles_t):
             )
         super().step_async(opts)
 
+    def _put_state(self, state):
+        return jax.device_put(state, self._sharding)
+
     # ---------------------------------------------------------- diag output
     def _cell_to_host(self, arr):
         return self._unpad_cell(arr)

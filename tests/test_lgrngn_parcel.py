@@ -324,3 +324,76 @@ def test_adaptive_perparticle_substepping():
     prtcls.diag_all(); prtcls.diag_wet_mom(3)
     liq = prtcls.outbuf()[0] * (4.0 / 3) * np.pi * 1e3
     assert abs((0.02 - rv[0]) - liq) < 1e-6
+
+
+def test_sd_conc_large_tail_adds_sds():
+    """opts_init.sd_conc_large_tail extends the population with
+    multiplicity-1 SDs from the distribution tail (reference
+    init_SD_with_distros_tail.ipp; oracle: api_lgrngn.py:340 asserts the
+    tail run has MORE SDs)."""
+    import numpy as np
+    from libcloudphxx_tpu import lgrngn
+
+    def lognormal(lnr):
+        return (60e6 * np.exp(-(lnr - np.log(0.02e-6)) ** 2
+                              / 2 / np.log(1.4) ** 2)
+                / np.log(1.4) / np.sqrt(2 * np.pi))
+
+    def build(tail):
+        oi = lgrngn.opts_init_t()
+        oi.dt = 1.0
+        oi.dry_distros = {(0.61, 0.0): lognormal}
+        oi.sd_conc = 64
+        oi.sd_conc_large_tail = tail
+        oi.n_sd_max = 512
+        oi.terminal_velocity = lgrngn.vt_t.beard76
+        prt = lgrngn.factory(lgrngn.backend_t.serial, oi)
+        rhod = np.ones(1)
+        prt.init(300.0 * np.ones(1), 0.01 * np.ones(1), rhod)
+        prt.diag_all()
+        prt.diag_sd_conc()
+        n = prt.get_attr("n")
+        return prt.outbuf()[0], n
+
+    sd_plain, _ = build(False)
+    sd_tail, n_tail = build(True)
+    assert sd_plain == 64
+    assert sd_tail > sd_plain
+    # the tail SDs carry multiplicity 1 and large dry radii
+    assert (n_tail[int(sd_plain):int(sd_tail)] == 1).all()
+
+
+def test_vectorized_init_large_grid_fast():
+    """const_multi / dry_sizes init must be vectorized over cells
+    (the round-1 per-cell Python loop took minutes at 3-D sizes)."""
+    import time
+
+    import numpy as np
+    from libcloudphxx_tpu import lgrngn
+
+    def lognormal(lnr):
+        return (60e6 * np.exp(-(lnr - np.log(0.02e-6)) ** 2
+                              / 2 / np.log(1.4) ** 2)
+                / np.log(1.4) / np.sqrt(2 * np.pi))
+
+    nx = ny = nz = 32   # 32k cells
+    oi = lgrngn.opts_init_t()
+    oi.nx, oi.ny, oi.nz = nx, ny, nz
+    oi.dx = oi.dy = oi.dz = 10.0
+    oi.x1, oi.y1, oi.z1 = nx * 10.0, ny * 10.0, nz * 10.0
+    oi.dt = 1.0
+    oi.dry_distros = {(0.61, 0.0): lognormal}
+    oi.sd_const_multi = int(2e10)
+    oi.n_sd_max = 2 ** 21
+    oi.terminal_velocity = lgrngn.vt_t.beard76
+    oi.dry_sizes = {(0.61, 0.0): {1e-6: (1e4, 2)}}
+    prt = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    shape = (nx, ny, nz)
+    t0 = time.time()
+    prt.init(np.full(shape, 300.0), np.full(shape, 0.01),
+             np.full(shape, 1.1))
+    elapsed = time.time() - t0
+    prt.diag_all()
+    prt.diag_sd_conc()
+    assert prt.outbuf().min() >= 2  # dry_sizes SDs everywhere
+    assert elapsed < 60, f"init took {elapsed:.0f}s — cell loop regression?"
