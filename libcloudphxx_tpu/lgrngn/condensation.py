@@ -367,7 +367,7 @@ def cond_perparticle(cfg: StaticConfig, state: State, dt, RH_max,
 
     sstp = cfg.sstp_cond
     dt_sub = dt / sstp
-    mix = True  # reference default opts_init.sstp_cond_mix
+    mix = bool(cfg.sstp_cond_mix)
 
     g = lambda arr: arr[state.ijk]
     # per-SD ambient deltas (calculate_noncond_perparticle_sstp_delta.ipp)

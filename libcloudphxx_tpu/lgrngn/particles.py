@@ -32,7 +32,11 @@ from .state import PUDDLE_KEYS, State, StaticConfig, empty_state
 def _as_flat(arr, n_cell, name):
     if arr is None:
         return None
-    a = np.asarray(arr, dtype=np.float64).reshape(-1)
+    # always COPY: jnp.asarray on CPU zero-copies numpy buffers, which would
+    # alias device state to the caller's arrays — the reference's sync is a
+    # copy (particles_impl_sync.ipp:15-69), and callers routinely mutate
+    # their arrays in place between syncs
+    a = np.array(arr, dtype=np.float64).reshape(-1)
     if a.size != n_cell:
         raise ValueError(
             f"lgrngn: {name} has {a.size} elements, expected {n_cell}"
@@ -259,7 +263,7 @@ class particles_t:
                           ("courant_z", courant_z)):
             if arr is None:
                 continue
-            a = np.asarray(arr, dtype=np.float64).reshape(-1)
+            a = np.array(arr, dtype=np.float64).reshape(-1)  # copy (see _as_flat)
             if a.size != sizes[name]:
                 raise ValueError(
                     f"lgrngn: {name} has {a.size} elements, "

@@ -74,6 +74,10 @@ class StaticConfig:
                                             default=1e-4)
     sstp_cond_adapt_drw2_max: float = field(metadata=dict(static=True),
                                             default=4.0)
+    # per-substep in-cell mixing in exact per-particle condensation
+    # (reference opts_init.hpp sstp_cond_mix; can only be off with
+    # exact_sstp_cond)
+    sstp_cond_mix: bool = field(metadata=dict(static=True), default=True)
 
     def __hash__(self):
         return hash(tuple(getattr(self, f.name) for f in fields(self)))
@@ -123,6 +127,7 @@ class StaticConfig:
                 getattr(oi, "sstp_cond_adapt_drw2_eps", 1e-4)),
             sstp_cond_adapt_drw2_max=float(
                 getattr(oi, "sstp_cond_adapt_drw2_max", 4.0)),
+            sstp_cond_mix=bool(getattr(oi, "sstp_cond_mix", True)),
         )
 
 

@@ -160,3 +160,57 @@ def test_exact_sstp_parcel(constp):
     assert abs(ss) < 4.5e-3
     assert abs(th[0] - exp_th) < 1e-4 * exp_th
     assert abs(rv[0] - exp_rv) < 1e-3 * exp_rv
+
+
+def test_ice_deposition_aspect_ratio_evolution():
+    """Per-axis depositional growth (reference advance_ice_ac,
+    cond_common.ipp:432-473: each spheroid axis advanced with its own
+    rdrdt_i forward-Euler rate): in an ice-supersaturated cell both axes
+    grow, the shorter axis grows faster (da/dt ~ 1/a), so a prolate
+    crystal's aspect ratio c/a relaxes toward 1; rv is depleted and th
+    warms by the latent heat of deposition."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from libcloudphxx_tpu.common import const_cp, theta_std
+
+    oi = make_opts_init(ice_switch=True, sstp_cond=2)
+    opts = make_opts(ice_nucl=True)
+
+    p0, T0 = 80000.0, 250.0
+    rv0 = np.array([1.05 * float(const_cp.r_vs(T0, p0))])  # RH_i > 1
+    th0 = np.array([T0 / float(theta_std.exner(p0))])
+    rhod = np.array([float(theta_std.rhod(p0, th0[0], rv0[0]))])
+
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    th, rv = th0.copy(), rv0.copy()
+    prtcls.init(th, rv, rhod)
+
+    # hand-freeze every live SD into a prolate spheroid (c = 3a)
+    st = prtcls.state
+    live = np.asarray(st.n) > 0
+    a0 = np.where(live, 2e-6, 0.0)
+    c0 = np.where(live, 6e-6, 0.0)
+    prtcls.state = dataclasses.replace(
+        st,
+        ice_a=jnp.asarray(a0), ice_c=jnp.asarray(c0),
+        ice_rho=jnp.where(jnp.asarray(live), 916.8, 0.0),
+        rw2=jnp.where(jnp.asarray(live), 0.0, st.rw2),
+    )
+
+    ratio0 = c0[live] / a0[live]
+    for _ in range(20):
+        prtcls.step_sync(opts, th, rv)
+        prtcls.step_async(opts)
+
+    a1 = np.asarray(prtcls.state.ice_a)[live]
+    c1 = np.asarray(prtcls.state.ice_c)[live]
+    assert (a1 > a0[live]).all(), "a axis must grow at RH_i > 1"
+    assert (c1 > c0[live]).all(), "c axis must grow at RH_i > 1"
+    ratio1 = c1 / a1
+    assert (ratio1 < ratio0).all(), \
+        "per-axis growth must relax the aspect ratio toward 1"
+    assert (ratio1 > 1.0).all()
+    assert rv[0] < rv0[0]   # vapour deposited
+    assert th[0] > th0[0]   # latent heating
