@@ -55,6 +55,27 @@ def _writer(outdir, basename, fields, attrs=None):
     return path
 
 
+def record_chem(model):
+    """Aqueous-phase chemistry output (kin_cloud_2d_lgrngn_chem.hpp
+    diag_chem:50-84, with the reference's dataset names)."""
+    from ..common import chem as chem_mod
+    cs = chem_mod.chem_species_t
+    p = model.prtcls
+    shape = (model.nx, model.nz)
+    names = {cs.SO2: "chem_S_IV_aq", cs.S_VI: "chem_S_VI_aq",
+             cs.O3: "chem_O3_aq", cs.H2O2: "chem_H2O2_aq",
+             cs.H: "chem_H_aq", cs.CO2: "chem_C_IV_aq",
+             cs.NH3: "chem_N_III_aq", cs.HNO3: "chem_N_V_aq"}
+    rec = {}
+    p.diag_all()
+    for sp, name in names.items():
+        p.diag_chem(sp)
+        rec[name] = p.outbuf().reshape(shape)
+    for sp, arr in model.chem_gases.items():
+        rec[f"chem_{cs(sp).name}_g"] = arr
+    return rec
+
+
 def record_lgrngn_moments(model, out_dry, out_wet):
     """The per-outfreq moment recording of the lgrngn coupler
     (kin_cloud_2d_lgrngn.hpp diag():33-95)."""
@@ -87,7 +108,7 @@ def main(argv=None):
         prog="icicle-tpu",
         description="2-D kinematic cloud model (ICMW8 case 1), TPU-native")
     ap.add_argument("--micro", required=True,
-                    choices=["blk_1m", "blk_2m", "lgrngn"])
+                    choices=["blk_1m", "blk_2m", "lgrngn", "lgrngn_chem"])
     ap.add_argument("--nx", type=int, default=76)
     ap.add_argument("--nz", type=int, default=76)
     ap.add_argument("--nt", type=int, default=3600)
@@ -114,7 +135,7 @@ def main(argv=None):
     out_wet = parse_outmoms(args.out_wet)
 
     kw = {}
-    if args.micro == "lgrngn":
+    if args.micro in ("lgrngn", "lgrngn_chem"):
         kw.update(
             sd_conc=args.sd_conc, sstp_cond=args.sstp_cond,
             sstp_coal=args.sstp_coal,
@@ -144,8 +165,10 @@ def main(argv=None):
 
     def record(t):
         fields = {"th": model.th, "rv": model.rv}
-        if args.micro == "lgrngn":
+        if args.micro in ("lgrngn", "lgrngn_chem"):
             fields.update(record_lgrngn_moments(model, out_dry, out_wet))
+            if args.micro == "lgrngn_chem":
+                fields.update(record_chem(model))
             for k, v in model.prtcls.diag_puddle().items():
                 puddle_f.write(f"{k} {v}\n")
             puddle_f.write("\n")
@@ -159,7 +182,7 @@ def main(argv=None):
 
     record(0)
     for t in range(1, args.nt + 1):
-        if args.micro == "lgrngn":
+        if args.micro in ("lgrngn", "lgrngn_chem"):
             model.advect_scalars()
             rec = (t % args.outfreq == 0)
             if rec:
@@ -170,6 +193,8 @@ def main(argv=None):
                 # SD diagnostics post-micro (kin_cloud_2d_lgrngn.hpp:222-291)
                 fields = dict(fields_pre)
                 fields.update(record_lgrngn_moments(model, out_dry, out_wet))
+                if args.micro == "lgrngn_chem":
+                    fields.update(record_chem(model))
                 for k, v in model.prtcls.diag_puddle().items():
                     puddle_f.write(f"{k} {v}\n")
                 puddle_f.write("\n")

@@ -44,6 +44,16 @@ class Setup:
     n2_stp: float = 40e6
     kappa: float = 0.61
     chem_b: float = 0.55
+    # trace-gas volume mixing ratios + aerosol density for lgrngn_chem
+    # (reference opts_common.hpp:64-103; thesis_AJ_2017 cases set nonzero
+    # values, CLI defaults are 0)
+    SO2_g_0: float = 0.2e-9
+    O3_g_0: float = 50e-9
+    H2O2_g_0: float = 0.5e-9
+    CO2_g_0: float = 360e-6
+    NH3_g_0: float = 0.1e-9
+    HNO3_g_0: float = 0.1e-9
+    chem_rho: float = 1.8e3
 
     def lognormal_lnrd(self, lnr):
         """Bimodal aerosol n(ln rd) @STP (icmw8_case1.hpp:61-78)."""
@@ -86,6 +96,17 @@ def rhod_profile(setup: Setup, z):
     """Hydrostatic dry-air density (icmw8_case1.hpp:119-136)."""
     p = hydrostatic.p(z, setup.th_0, setup.rv_0, setup.z_0, setup.p_0)
     return theta_std.rhod(p, setup.th_0, setup.rv_0)
+
+
+def mixr_helper_profile(setup: Setup, z):
+    """moles of air per kg of dry air at altitude z — converts trace-gas
+    volume mixing ratios into mass mixing ratios
+    (icmw8_case1.hpp mixr_helper:139-163)."""
+    p = hydrostatic.p(z, setup.th_0, setup.rv_0, setup.z_0, setup.p_0)
+    rhod = theta_std.rhod(p, setup.th_0, setup.rv_0)
+    th_d = theta_dry.std2dry(setup.th_0, setup.rv_0)
+    T = theta_dry.T(th_d, rhod)
+    return p / c.kaBoNA / T / rhod
 
 
 def make_gc(setup: Setup, nx, nz, dx, dz):
@@ -212,7 +233,7 @@ class Kinematic2D:
         self.C_x = gc_x / div_x[None, :]
         self.C_z = gc_z / div_z[None, :]
 
-        if micro == "lgrngn":
+        if micro in ("lgrngn", "lgrngn_chem"):
             oi = lgrngn_mod.opts_init_t()
             distro = (s.lognormal_lnrd_f32 if reference_rng
                       else s.lognormal_lnrd)
@@ -244,13 +265,42 @@ class Kinematic2D:
             oi.terminal_velocity = (
                 terminal_velocity if terminal_velocity is not None
                 else lgrngn_mod.vt_t.beard77fast)
+            ambient_chem = None
+            if micro == "lgrngn_chem":
+                # trace-gas fields from volume mixing ratios
+                # (kin_cloud_2d_lgrngn_chem.hpp hook_ante_loop:101-128)
+                from ..common import chem as chem_mod
+                oi.chem_switch = True
+                oi.chem_rho = s.chem_rho
+                mixr = np.asarray(mixr_helper_profile(
+                    s, jnp.asarray(z_scalar)))
+                cs = chem_mod.chem_species_t
+                gas0 = {
+                    cs.SO2: s.SO2_g_0 * chem_mod.M_SO2,
+                    cs.O3: s.O3_g_0 * chem_mod.M_O3,
+                    cs.H2O2: s.H2O2_g_0 * chem_mod.M_H2O2,
+                    cs.CO2: s.CO2_g_0 * chem_mod.M_CO2,
+                    cs.NH3: s.NH3_g_0 * chem_mod.M_NH3,
+                    cs.HNO3: s.HNO3_g_0 * chem_mod.M_HNO3,
+                }
+                self.chem_gases = {
+                    sp: np.broadcast_to(mixr * v, (nx, nz)).copy()
+                    for sp, v in gas0.items()
+                }
+                ambient_chem = self.chem_gases
             self.prtcls = lgrngn_mod.factory(
                 backend or lgrngn_mod.backend_t.tpu, oi
             )
             self.prtcls.init(self.th, self.rv, self.rhod,
-                             Cx=self.C_x, Cz=self.C_z)
+                             Cx=self.C_x, Cz=self.C_z,
+                             ambient_chem=ambient_chem)
             self.opts = lgrngn_mod.opts_t()
-            self.opts.chem_dsl = False
+            if micro == "lgrngn_chem":
+                self.opts.chem_dsl = True
+                self.opts.chem_dsc = True
+                self.opts.chem_rct = True
+            else:
+                self.opts.chem_dsl = False
         elif micro == "blk_1m":
             self.opts = blk_1m_mod.opts_t()
             self.rc = np.zeros((nx, nz))
@@ -286,27 +336,38 @@ class Kinematic2D:
 
     def advect_scalars(self):
         """The Eulerian (libmpdata++) part of one lgrngn step: MPDATA
-        advection of th/rv.  Split out so a driver can record fields between
-        advection and microphysics like the reference output does
-        (kin_cloud_2d_lgrngn.hpp:222-225: parent hook_post_step — which
-        includes output — runs before step_sync)."""
+        advection of th/rv (+ the six trace gases for lgrngn_chem).  Split
+        out so a driver can record fields between advection and microphysics
+        like the reference output does (kin_cloud_2d_lgrngn.hpp:222-225:
+        parent hook_post_step — which includes output — runs before
+        step_sync)."""
         self.th, self.rv = self._advect(self.th, self.rv)
+        if self.micro == "lgrngn_chem":
+            for sp in list(self.chem_gases):
+                (self.chem_gases[sp],) = self._advect(self.chem_gases[sp])
 
     def micro_step(self, spinup=False):
         """The microphysics part of one lgrngn step (hook_post_step body).
         During spinup, coalescence and sedimentation are off and RH is capped
-        at 1% supersaturation (set_rain, kin_cloud_2d_lgrngn.hpp:121-126)."""
+        at 1% supersaturation (set_rain, kin_cloud_2d_lgrngn.hpp:121-126);
+        lgrngn_chem also holds oxidation off during spinup (set_chem,
+        kin_cloud_2d_lgrngn_chem.hpp:89-99)."""
         opts = self.opts
         opts.sedi = opts.coal = not spinup
         opts.RH_max = 1.01 if spinup else 44.0
-        self.prtcls.step_sync(opts, self.th, self.rv, self.rhod)
+        chem = self.micro == "lgrngn_chem"
+        if chem:
+            opts.chem_rct = not spinup
+        self.prtcls.step_sync(
+            opts, self.th, self.rv, self.rhod,
+            ambient_chem=self.chem_gases if chem else None)
         self.prtcls.step_async(opts)
 
     def step(self, spinup=False):
         """One model step: MPDATA advection of the scalar fields, then the
         microphysics hook (reference icicle.cpp:77 + hook_post_step)."""
         s = self.setup
-        if self.micro == "lgrngn":
+        if self.micro in ("lgrngn", "lgrngn_chem"):
             self.advect_scalars()
             self.micro_step(spinup=spinup)
         elif self.micro == "blk_1m":

@@ -70,3 +70,33 @@ def test_lgrngn_sd_count_preserved_during_spinup():
     assert sd.sum() == 16 * 16 * 16
     rc = m.diag_lgrngn("rc")
     assert np.isfinite(rc).all()
+
+
+def test_lgrngn_chem_model_variant():
+    """The chemistry-coupled kinematic model (reference
+    kin_cloud_2d_lgrngn_chem.hpp): six advected trace gases feed Henry
+    dissolution; SO2 oxidises to S_VI in cloud water."""
+    import numpy as np
+
+    from libcloudphxx_tpu.common import chem as chem_mod
+    from libcloudphxx_tpu.models import Kinematic2D
+
+    model = Kinematic2D(nx=10, nz=10, micro="lgrngn_chem", sd_conc=16,
+                        n_sd_max=10 * 10 * 16, grid="node", fct=True)
+    cs = chem_mod.chem_species_t
+    so2_0 = model.chem_gases[cs.SO2].copy()
+    assert so2_0.min() > 0
+    model.run(4, spinup=2)
+    # SO2 dissolves into supersaturated cells (gas field depleted somewhere)
+    assert np.isfinite(model.chem_gases[cs.SO2]).all()
+    assert model.chem_gases[cs.SO2].min() < so2_0.max()
+    # dissolved sulfate appears (S_VI via oxidation after spinup)
+    p = model.prtcls
+    p.diag_all()
+    p.diag_chem(cs.SO2)
+    s4 = p.outbuf()
+    assert np.isfinite(s4).all()
+    p.diag_chem(cs.S_VI)
+    s6 = p.outbuf()
+    assert np.isfinite(s6).all()
+    assert s6.max() > 0
