@@ -72,7 +72,7 @@ def profile_phases(model):
     sgs = jnp.full(cfg.nz, cfg.dz)
 
     def async_(coal):
-        sw = (coal, True, True, False, False, False, False)
+        sw = (coal, True, True, False, False, False, False, False)
         return _step_async_jit(cfg, SSTP_COAL, sw, st, params, w_LS, sgs,
                                dt).x
     t_async = _time(lambda: async_(True))

@@ -281,6 +281,18 @@ def _shift_up(arr):
     return jnp.concatenate([arr[1:], arr[-1:]])
 
 
+def _shift_down(arr):
+    """arr[i-1] with the first element repeated (value lanes — only read
+    where the shifted mask is set)."""
+    return jnp.concatenate([arr[:1], arr[:-1]])
+
+
+def _shift_down_mask(mask):
+    """mask[i-1] with False injected at lane 0 (lane 0 has no predecessor,
+    so a pair starting there must not re-apply to itself)."""
+    return jnp.concatenate([jnp.zeros((1,), mask.dtype), mask[:-1]])
+
+
 def coal_substep(cfg: StaticConfig, state: State, params, dt, key,
                  eff_table=None, r_max_um=0.0, turb_coal=False) -> State:
     """One coalescence substep over the whole population
@@ -379,8 +391,6 @@ def coal_substep(cfg: StaticConfig, state: State, params, dt, key,
     col_no = jnp.minimum(col_no, ratio)
     happened = is_pair & (col_no > 0)
 
-    big = jnp.where(a_is_big, a, b)
-    small = jnp.where(a_is_big, b, a)
     rw2_big = jnp.where(a_is_big, rw2_a, rw2_b)
     rw2_small = jnp.where(a_is_big, rw2_b, rw2_a)
     rd3_big = jnp.where(a_is_big, rd3_a, rd3_b)
@@ -402,16 +412,24 @@ def coal_substep(cfg: StaticConfig, state: State, params, dt, key,
         kpa_small,
     )
 
-    # conflict-free scatters: masked-out lanes are dropped via OOB index
-    oob = n_sd
-    big_idx = jnp.where(happened, big, oob)
-    small_idx = jnp.where(happened, small, oob)
+    # apply the pair outcome IN SORTED SPACE (lane p holds the pair math;
+    # lane p+1 reads it through a shift), then ONE sort by the original slot
+    # index restores attribute order — measured ~4x cheaper than the four
+    # random-index scatters it replaces (TPU scatters are the slowest op
+    # class; multi-operand sorts run on the sort network)
+    hp = _shift_down_mask(happened)
+    bigp = _shift_down(a_is_big)
 
-    n_new = state.n.at[big_idx].set(n_big_new, mode="drop")
-    rw2_new = state.rw2.at[small_idx].set(rw2_small_new, mode="drop")
-    rd3_new = state.rd3.at[small_idx].set(rd3_small_new, mode="drop")
-    kpa_new = state.kpa.at[small_idx].set(kpa_small_new, mode="drop")
-    updates = dict(n=n_new, rw2=rw2_new, rd3=rd3_new, kpa=kpa_new)
+    n_s = jnp.where(happened & a_is_big, n_big_new, n_a)
+    n_s = jnp.where(hp & ~bigp, _shift_down(n_big_new), n_s)
+    rw2_s = jnp.where(happened & ~a_is_big, rw2_small_new, rw2_a)
+    rw2_s = jnp.where(hp & bigp, _shift_down(rw2_small_new), rw2_s)
+    rd3_s = jnp.where(happened & ~a_is_big, rd3_small_new, rd3_a)
+    rd3_s = jnp.where(hp & bigp, _shift_down(rd3_small_new), rd3_s)
+    kpa_s = jnp.where(happened & ~a_is_big, kpa_small_new, kpa_a)
+    kpa_s = jnp.where(hp & bigp, _shift_down(kpa_small_new), kpa_s)
+
+    back_vals = [n_s, rw2_s, rd3_s, kpa_s]
     if cfg.chem_switch:
         # dissolved chemical masses add up (coal.ipp:459-468 post-summator);
         # the per-species rows rode the sort as values
@@ -420,17 +438,27 @@ def coal_substep(cfg: StaticConfig, state: State, params, dt, key,
         chem_big = jnp.where(a_is_big, chem_a, chem_b)
         chem_small = jnp.where(a_is_big, chem_b, chem_a)
         chem_small_new = chem_small + col_no * chem_big
-        updates["chem"] = state.chem.at[:, small_idx].set(
-            chem_small_new, mode="drop"
-        )
+        for i in range(8):
+            row = jnp.where(happened & ~a_is_big, chem_small_new[i],
+                            chem_a[i])
+            row = jnp.where(hp & bigp, _shift_down(chem_small_new[i]), row)
+            back_vals.append(row)
     if cfg.diag_incloud_time:
         # the merged droplet keeps the longer in-cloud residence
         # (coal.ipp incloud_time max post-summator)
         ict_a = extra_a[-1]
         t_max = jnp.maximum(ict_a, _shift_up(ict_a))
-        updates["incloud_time"] = state.incloud_time.at[small_idx].set(
-            t_max, mode="drop"
-        )
+        row = jnp.where(happened & ~a_is_big, t_max, ict_a)
+        row = jnp.where(hp & bigp, _shift_down(t_max), row)
+        back_vals.append(row)
+
+    unsorted = jax.lax.sort((orig,) + tuple(back_vals), num_keys=1)[1:]
+    updates = dict(n=unsorted[0], rw2=unsorted[1], rd3=unsorted[2],
+                   kpa=unsorted[3])
+    if cfg.chem_switch:
+        updates["chem"] = jnp.stack(unsorted[4:12])
+    if cfg.diag_incloud_time:
+        updates["incloud_time"] = unsorted[-1]
     # invalidate vt of the grown droplet: recomputed wholesale after the
     # substep (reference marks detail::invalid then hskpng_vterm_invalid)
     return dataclasses.replace(state, **updates)

@@ -200,9 +200,17 @@ def migrate(cfg: StaticConfig, state: State, dom: ShardDomain, buf: int,
 
 
 def _bcnd_z_only(cfg: StaticConfig, state: State) -> State:
-    """bcnd with the x-direction left to migration (the ring is the wrap)."""
+    """bcnd with the x-direction left to migration (the ring is the wrap);
+    y walls are local to every shard (the slab split is x-only)."""
     z, n = state.z, state.n
     puddle = state.puddle
+    if cfg.n_dims == 3:
+        if cfg.open_side_walls:
+            out_y = (state.y >= cfg.y1) | (state.y < cfg.y0)
+            n = jnp.where(out_y, 0.0, n)
+        else:
+            y = cfg.y0 + jnp.remainder(state.y - cfg.y0, cfg.y1 - cfg.y0)
+            state = dataclasses.replace(state, y=y)
     if cfg.n_dims > 1:
         from ..common import constants as c
         from ..lgrngn.state import (OUT_DRY_VOL, OUT_LIQ_NUM, OUT_LIQ_VOL,

@@ -44,6 +44,10 @@ class particles_multi_t(particles_t):
         n_dev = n_devices or int(opts_init.dev_count) or len(jax.devices())
         if n_dev < 2:
             raise ValueError("particles_multi_t: need at least 2 devices")
+        if len(jax.devices()) < n_dev:
+            raise ValueError(
+                f"particles_multi_t: {n_dev} devices requested but only "
+                f"{len(jax.devices())} visible")
         if opts_init.nx < n_dev:
             raise ValueError("particles_multi_t: nx smaller than the mesh")
         if self.cfg.adve_scheme == as_t.pred_corr.value:
@@ -103,11 +107,21 @@ class particles_multi_t(particles_t):
         return out.reshape(-1)
 
     def _pad_courant_z(self, arr):
-        nz1 = max(1, self.cfg.nz) + 1 if self.cfg.n_dims > 1 else 0
-        if nz1 == 0:
+        if self.cfg.n_dims <= 1:
             return np.asarray(arr)
-        g = np.asarray(arr, np.float64).reshape(self.cfg.nx, nz1)
-        out = np.zeros((self.n_shards, self.nx_pad, nz1))
+        nyz1 = max(1, self.cfg.ny) * (max(1, self.cfg.nz) + 1)
+        g = np.asarray(arr, np.float64).reshape(self.cfg.nx, nyz1)
+        out = np.zeros((self.n_shards, self.nx_pad, nyz1))
+        for s, (off, w) in enumerate(zip(self.offs, self.widths)):
+            out[s, :w] = g[off:off + w]
+        return out.reshape(-1)
+
+    def _pad_courant_y(self, arr):
+        if self.cfg.n_dims != 3:
+            return np.asarray(arr)
+        ny1z = (self.cfg.ny + 1) * max(1, self.cfg.nz)
+        g = np.asarray(arr, np.float64).reshape(self.cfg.nx, ny1z)
+        out = np.zeros((self.n_shards, self.nx_pad, ny1z))
         for s, (off, w) in enumerate(zip(self.offs, self.widths)):
             out[s, :w] = g[off:off + w]
         return out.reshape(-1)
@@ -159,7 +173,9 @@ class particles_multi_t(particles_t):
             elif name == "courant_x":
                 per_sd[name] = jnp.asarray(self._pad_courant_x(v))
             elif name == "courant_y":
-                per_sd[name] = jnp.asarray(np.zeros((0,)))
+                per_sd[name] = (jnp.asarray(self._pad_courant_y(v))
+                                if self.cfg.n_dims == 3
+                                else jnp.asarray(np.zeros((0,))))
             elif name == "courant_z":
                 per_sd[name] = jnp.asarray(self._pad_courant_z(v))
             elif name in ("ambient_chem", "sstp_tmp_chem"):
@@ -365,6 +381,9 @@ class particles_multi_t(particles_t):
         if courant_x is not None:
             updates["courant_x"] = jnp.asarray(self._pad_courant_x(
                 np.asarray(courant_x, np.float64).reshape(-1)))
+        if courant_y is not None:
+            updates["courant_y"] = jnp.asarray(self._pad_courant_y(
+                np.asarray(courant_y, np.float64).reshape(-1)))
         if courant_z is not None:
             updates["courant_z"] = jnp.asarray(self._pad_courant_z(
                 np.asarray(courant_z, np.float64).reshape(-1)))

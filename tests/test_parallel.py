@@ -278,3 +278,63 @@ def test_multichip_courant_halo_matters():
     xs = np.sort(prt_s.get_attr("x")[prt_s.get_attr("n") > 0])
     xm = np.sort(prt_m.get_attr("x")[prt_m.get_attr("n") > 0])
     np.testing.assert_allclose(xm, xs, rtol=0, atol=1e-10)
+
+
+def test_multichip_equals_serial_3d():
+    """3-D slab decomposition through the public API (the reference's
+    mpi_adve_test also runs 3-D, mpi_adve_test.cpp:69-110)."""
+    def lognormal(lnr):
+        return (60e6 * np.exp(-(lnr - np.log(0.02e-6)) ** 2
+                              / 2 / np.log(1.4) ** 2)
+                / np.log(1.4) / np.sqrt(2 * np.pi))
+
+    def build(dev_count):
+        nx, ny, nz = 9, 4, 5
+        oi = lgrngn.opts_init_t()
+        oi.nx, oi.ny, oi.nz = nx, ny, nz
+        oi.dx = oi.dy = oi.dz = 20.0
+        oi.x1, oi.y1, oi.z1 = nx * 20.0, ny * 20.0, nz * 20.0
+        oi.dt = 1.0
+        oi.sd_conc = 8
+        oi.n_sd_max = nx * ny * nz * 8 * 2
+        oi.dry_distros = {(0.61, 0.0): lognormal}
+        oi.terminal_velocity = lgrngn.vt_t.beard77fast
+        oi.kernel = lgrngn.kernel_t.geometric
+        oi.dev_count = dev_count
+        backend = (lgrngn.backend_t.multi_CUDA if dev_count > 1
+                   else lgrngn.backend_t.serial)
+        prt = lgrngn.factory(backend, oi)
+        shape = (nx, ny, nz)
+        th = np.full(shape, 290.0)
+        rv = np.full(shape, 7.5e-3)
+        rhod = np.full(shape, 1.1)
+        Cx = np.full((nx + 1, ny, nz), 0.3)
+        Cy = np.full((nx, ny + 1, nz), 0.1)
+        Cz = np.full((nx, ny, nz + 1), 0.05)
+        prt.init(th, rv, rhod, Cx=Cx, Cy=Cy, Cz=Cz)
+        return prt, th, rv
+
+    prt_s, th_s, rv_s = build(1)
+    prt_m, th_m, rv_m = build(3)
+    assert prt_m.widths == [3, 3, 3]
+    opts = lgrngn.opts_t()
+    opts.coal = False
+    for _ in range(5):
+        prt_s.step_sync(opts, th_s, rv_s)
+        prt_s.step_async(opts)
+        prt_m.step_sync(opts, th_m, rv_m)
+        prt_m.step_async(opts)
+    np.testing.assert_allclose(th_m, th_s, rtol=0, atol=1e-9)
+    for p in (prt_s, prt_m):
+        p.diag_all()
+        p.diag_sd_conc()
+    np.testing.assert_array_equal(prt_m.outbuf(), prt_s.outbuf())
+
+    def popul(p):
+        n = p.get_attr("n")
+        live = n > 0
+        cols = np.stack([p.get_attr("x")[live], p.get_attr("y")[live],
+                         p.get_attr("z")[live], n[live]])
+        return cols[:, np.lexsort(cols)]
+    np.testing.assert_allclose(popul(prt_m), popul(prt_s),
+                               rtol=1e-9, atol=1e-12)
