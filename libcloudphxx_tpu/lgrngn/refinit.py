@@ -47,13 +47,25 @@ _logf_u = np.frompyfunc(lambda v: _libm.logf(float(v)), 1, 1)
 _expf_u = np.frompyfunc(lambda v: _libm.expf(float(v)), 1, 1)
 
 
+def _native():
+    from .. import native
+    return native if native.available() else None
+
+
 def logf(a):
-    """glibc logf, elementwise, float32-exact."""
+    """glibc logf, elementwise, float32-exact (native batch path when the
+    toolchain built libcloudphxx_tpu.native, per-element ctypes otherwise)."""
+    nat = _native()
+    if nat is not None:
+        return nat.vec_logf(np.asarray(a, f32))
     return np.asarray(_logf_u(np.asarray(a, f32)), f32)
 
 
 def expf(a):
     """glibc expf, elementwise, float32-exact."""
+    nat = _native()
+    if nat is not None:
+        return nat.vec_expf(np.asarray(a, f32))
     return np.asarray(_expf_u(np.asarray(a, f32)), f32)
 
 # reference src/detail/config.hpp rd_min_init / rd_max_init
@@ -63,12 +75,23 @@ _RD_MAX_INIT = 1e-3
 
 class MT19937U01:
     """Bit-exact replica of the reference serial RNG's u01 stream:
-    float(mt19937_uint32) / 2^32 (libstdc++ generate_canonical<float, 24>)."""
+    float(mt19937_uint32) / 2^32 (libstdc++ generate_canonical<float, 24>).
+    Uses the native mt19937 (libcloudphxx_tpu.native) when built; numpy's
+    legacy RandomState shares the same core generator and seeding, so the
+    fallback produces the identical stream."""
 
     def __init__(self, seed: int):
-        self._rs = np.random.RandomState(seed)
+        nat = _native()
+        if nat is not None:
+            self._nat = nat.MT19937State(int(seed))
+            self._rs = None
+        else:
+            self._nat = None
+            self._rs = np.random.RandomState(seed)
 
     def u01(self, n: int) -> np.ndarray:
+        if self._nat is not None:
+            return self._nat.u01(n)
         raw = self._rs.randint(0, 2 ** 32, size=n, dtype=np.uint64)
         return raw.astype(np.uint32).astype(f32) / f32(4294967296.0)
 
