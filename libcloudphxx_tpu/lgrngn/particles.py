@@ -55,10 +55,12 @@ def _rc2_of(state: State, T_sd):
     return rw3_cr ** (2.0 / 3)
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5, 6))
-def _step_cond_jit(cfg: StaticConfig, state: State, dt, RH_max,
+def step_cond_body(cfg: StaticConfig, state: State, dt, RH_max,
                    turb_cond: bool = False, ice_nucl: bool = False,
                    do_cond: bool = True):
+    """The full condensation-phase pipeline as a pure function — shared by
+    the single-device jit below and the multi-device shard_map front-end
+    (parallel/multi.py), so mesh and serial backends cannot drift."""
     state = hskpng.hskpng_Tpr(cfg, state)
     if cfg.ice_switch and ice_nucl:
         # freezing/melting phase changes (particles_step.ipp:183-185)
@@ -95,6 +97,14 @@ def _step_cond_jit(cfg: StaticConfig, state: State, dt, RH_max,
                                       turb_cond=turb_cond)
     state = condensation.sstp_save(state, exact=cfg.exact_sstp_cond)
     return state
+
+
+@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+def _step_cond_jit(cfg: StaticConfig, state: State, dt, RH_max,
+                   turb_cond: bool = False, ice_nucl: bool = False,
+                   do_cond: bool = True):
+    return step_cond_body(cfg, state, dt, RH_max, turb_cond, ice_nucl,
+                          do_cond)
 
 
 @partial(jax.jit, static_argnums=0)

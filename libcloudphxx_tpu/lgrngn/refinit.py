@@ -170,6 +170,8 @@ def init_SD_reference(cfg: StaticConfig, oi, state: State, seed: int,
         # multiplier *= sd_conc / int(fraction*sd_conc + .5)  [INTEGER division,
         # init_SD_with_distros_sd_conc.ipp:28]
         count_round = int(f32(fraction * f32(oi.sd_conc)) + 0.5)
+        if count_round == 0:
+            continue  # this mode's share of sd_conc rounds to no SDs
         mult = f32(mult * f32(int(oi.sd_conc) // count_round))
         # count_num = n_t(fraction * sd_conc)  [truncation]
         count = int(f32(fraction * f32(oi.sd_conc)))

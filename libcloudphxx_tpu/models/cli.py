@@ -147,8 +147,9 @@ def main(argv=None):
                             lgrngn.backend_t.serial),
             rng_seed=args.rng_seed,
         )
+    relax = str(args.relax_th_rv).strip().lower() in ("1", "true", "yes")
     model = Kinematic2D(nx=args.nx, nz=args.nz, micro=args.micro,
-                        grid="node", fct=True, **kw)
+                        grid="node", fct=True, relax_th_rv=relax, **kw)
     model.ante_loop()
     s = model.setup
     _writer(args.outdir, "const",
@@ -163,8 +164,13 @@ def main(argv=None):
 
     puddle_f = open(os.path.join(args.outdir, "puddle.dat"), "w")
 
-    def record(t):
-        fields = {"th": model.th, "rv": model.rv}
+    def record(t, fields_pre=None):
+        """One output step; ``fields_pre`` carries the pre-microphysics
+        th/rv of the reference's output ordering (kin_cloud_2d_lgrngn.hpp:
+        222-291: fields recorded post-advection pre-micro, SD diagnostics
+        post-micro)."""
+        fields = dict(fields_pre) if fields_pre is not None \
+            else {"th": model.th, "rv": model.rv}
         if args.micro in ("lgrngn", "lgrngn_chem"):
             fields.update(record_lgrngn_moments(model, out_dry, out_wet))
             if args.micro == "lgrngn_chem":
@@ -183,22 +189,17 @@ def main(argv=None):
     record(0)
     for t in range(1, args.nt + 1):
         if args.micro in ("lgrngn", "lgrngn_chem"):
+            spin = t <= args.spinup
+            do_relax = model._relax_hooks(spin)
             model.advect_scalars()
+            if do_relax:
+                model._apply_relax()
             rec = (t % args.outfreq == 0)
             if rec:
                 fields_pre = {"th": model.th.copy(), "rv": model.rv.copy()}
-            model.micro_step(spinup=(t <= args.spinup))
+            model.micro_step(spinup=spin)
             if rec:
-                # reference output order: th/rv post-advection pre-micro,
-                # SD diagnostics post-micro (kin_cloud_2d_lgrngn.hpp:222-291)
-                fields = dict(fields_pre)
-                fields.update(record_lgrngn_moments(model, out_dry, out_wet))
-                if args.micro == "lgrngn_chem":
-                    fields.update(record_chem(model))
-                for k, v in model.prtcls.diag_puddle().items():
-                    puddle_f.write(f"{k} {v}\n")
-                puddle_f.write("\n")
-                _writer(args.outdir, f"timestep{t:010d}", fields)
+                record(t, fields_pre=fields_pre)
         else:
             model.step(spinup=(t <= args.spinup))
             if t % args.outfreq == 0:

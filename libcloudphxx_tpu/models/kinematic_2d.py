@@ -54,6 +54,9 @@ class Setup:
     NH3_g_0: float = 0.1e-9
     HNO3_g_0: float = 0.1e-9
     chem_rho: float = 1.8e3
+    # th/rv relaxation (reference opts_common.hpp:65-66, 96-97)
+    tau_rlx: float = 300.0
+    z_rlx: float = 200.0
 
     def lognormal_lnrd(self, lnr):
         """Bimodal aerosol n(ln rd) @STP (icmw8_case1.hpp:61-78)."""
@@ -167,7 +170,8 @@ class Kinematic2D:
                  sd_conc=64, sstp_cond=1, sstp_coal=1, n_sd_max=None,
                  backend=None, mpdata_iters=2, grid="cell", fct=False,
                  reference_rng=False, kernel_parameters=None,
-                 terminal_velocity=None, rng_seed=None):
+                 terminal_velocity=None, rng_seed=None,
+                 relax_th_rv=False):
         """grid="cell": simple cell-centred grid (dx = X/nx), grid="node":
         the libmpdata++ node-centred interpretation the reference icicle
         uses (dx = X/(nx-1), scalar points at j*dz, SDM domain cropped to
@@ -321,6 +325,12 @@ class Kinematic2D:
 
         self.t = 0.0
         self.puddle_flux = 0.0
+        # th/rv relaxation toward the post-spinup horizontal means
+        # (kin_cloud_2d_common.hpp:61-77, update_rhs:90-117)
+        self.relax_th_rv = relax_th_rv
+        self._th_eq = None
+        self._rv_eq = None
+        self._z_scalar = z_scalar
 
     # ------------------------------------------------------------- stepping
     def _advect(self, *fields):
@@ -363,17 +373,43 @@ class Kinematic2D:
             ambient_chem=self.chem_gases if chem else None)
         self.prtcls.step_async(opts)
 
+    def _relax_hooks(self, spinup):
+        """hook_ante_step: capture the relaxation goals at spinup end;
+        returns whether the rhs applies this step
+        (kin_cloud_2d_common.hpp:52-77)."""
+        if not self.relax_th_rv:
+            return False
+        if not spinup and self._th_eq is None:
+            self._th_eq = self.th.mean(axis=0)
+            self._rv_eq = self.rv.mean(axis=0)
+        return self._th_eq is not None and not spinup
+
+    def _apply_relax(self):
+        """Per-cell relaxation rhs toward the saved horizontal means, tau
+        growing exponentially with altitude (update_rhs:90-117)."""
+        s = self.setup
+        tau = s.tau_rlx * np.exp(self._z_scalar / s.z_rlx)
+        self.th = self.th + s.dt * (self._th_eq - self.th) / tau
+        self.rv = self.rv + s.dt * (self._rv_eq - self.rv) / tau
+
     def step(self, spinup=False):
         """One model step: MPDATA advection of the scalar fields, then the
         microphysics hook (reference icicle.cpp:77 + hook_post_step)."""
         s = self.setup
+        do_relax = self._relax_hooks(spinup)
         if self.micro in ("lgrngn", "lgrngn_chem"):
             self.advect_scalars()
+            if do_relax:
+                # reference order: mpdata_rhs applies the relaxation before
+                # the microphysics hook (hook_post_step parent call)
+                self._apply_relax()
             self.micro_step(spinup=spinup)
         elif self.micro == "blk_1m":
             self.th, self.rv, self.rc, self.rr = self._advect(
                 self.th, self.rv, self.rc, self.rr
             )
+            if do_relax:
+                self._apply_relax()
             o = self.opts
             if spinup:
                 # reference set_rain only gates autoconversion for blk_1m
@@ -406,6 +442,8 @@ class Kinematic2D:
             self.th, self.rv, self.rc, self.nc, self.rr, self.nr = \
                 self._advect(self.th, self.rv, self.rc, self.nc,
                              self.rr, self.nr)
+            if do_relax:
+                self._apply_relax()
             o = self.opts
             if spinup:
                 # reference set_rain: acnv off + 1% RH cap
@@ -507,6 +545,9 @@ class Kinematic2D:
     def run_device_lgrngn(self, nt, spinup=0):
         """Device-resident lgrngn run: lax.scan over fused model steps; host
         sees th/rv only at the end."""
+        if self.relax_th_rv:
+            raise NotImplementedError(
+                "relax_th_rv is only supported in the stepwise run() path")
         p = self.prtcls
         carry = (p.state, jnp.asarray(self.th), jnp.asarray(self.rv))
         for n, sp in ((min(spinup, nt), True), (max(0, nt - spinup), False)):
@@ -583,6 +624,9 @@ class Kinematic2D:
         """Device-resident bulk run: one lax.scan per spinup phase, no host
         transfers between steps (the TPU-native answer to the reference's
         9000-step fig_a regressions)."""
+        if self.relax_th_rv:
+            raise NotImplementedError(
+                "relax_th_rv is only supported in the stepwise run() path")
         names = (("th", "rv", "rc", "rr") if self.micro == "blk_1m"
                  else ("th", "rv", "rc", "nc", "rr", "nr"))
         fields = tuple(jnp.asarray(getattr(self, k)) for k in names) \

@@ -47,6 +47,19 @@ MIGRATING_ATTRS = ("n", "rd3", "rw2", "kpa", "x", "y", "z", "vt",
                    "ice_a", "ice_c", "ice_rho", "T_freeze", "rd2_insol")
 
 
+def migrating_attrs(cfg: StaticConfig):
+    """The migration payload for a config — exact per-particle substepping
+    adds the per-SD ambient copies, like the reference's conditional
+    distmem_real_vctrs registration (particles_impl.ipp:440-494)."""
+    attrs = MIGRATING_ATTRS
+    if cfg.exact_sstp_cond:
+        # sstp_tmp_p is per-SD-shaped in exact mode even for var-p runs
+        # (it just stays zero there), so it always rides along
+        attrs = attrs + ("sstp_tmp_th", "sstp_tmp_rv", "sstp_tmp_rh",
+                         "sstp_tmp_p")
+    return attrs
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class ShardDomain:
@@ -142,13 +155,15 @@ def migrate(cfg: StaticConfig, state: State, dom: ShardDomain, buf: int,
     lo_next = jax.lax.ppermute(dom.lo, axis_name, perm_l)[0]
     hi_prev = jax.lax.ppermute(dom.hi, axis_name, perm_r)[0]
 
+    attrs = migrating_attrs(cfg)
+
     def pack(mask, shift):
         # movers first (stable sort keeps in-cell order), take buf slots
         order = jnp.argsort(~mask)
         idx = order[:buf]
         valid = mask[idx]
         payload = {}
-        for name in MIGRATING_ATTRS:
+        for name in attrs:
             v = getattr(state, name)[idx]
             if name == "x":
                 v = v + shift
@@ -159,6 +174,17 @@ def migrate(cfg: StaticConfig, state: State, dom: ShardDomain, buf: int,
     alive = state.n > 0
     go_l = alive & (state.x < lo)
     go_r = alive & (state.x >= hi)
+    if cfg.open_side_walls:
+        # open x walls: SDs leaving the GLOBAL domain die instead of riding
+        # the ring (single-device transport.bcnd kills them; the ring would
+        # silently make the boundary periodic)
+        idx0 = jax.lax.axis_index(axis_name)
+        kill = (go_l & (idx0 == 0)) | (go_r & (idx0 == n_shards - 1))
+        state = dataclasses.replace(
+            state, n=jnp.where(kill, 0.0, state.n))
+        alive = state.n > 0
+        go_l = alive & (state.x < lo)
+        go_r = alive & (state.x >= hi)
     pay_l, val_l, ovf_l = pack(go_l, hi_prev - lo)
     pay_r, val_r, ovf_r = pack(go_r, lo_next - hi)
 
@@ -180,7 +206,7 @@ def migrate(cfg: StaticConfig, state: State, dom: ShardDomain, buf: int,
         slots = dead_order[jnp.arange(buf)]
         tgt = jnp.where(valid, slots, cfg.n_sd_max)
         updates = {}
-        for name in MIGRATING_ATTRS:
+        for name in attrs:
             updates[name] = getattr(st, name).at[tgt].set(
                 payload[name], mode="drop"
             )
@@ -229,6 +255,15 @@ def _bcnd_z_only(cfg: StaticConfig, state: State) -> State:
             puddle = puddle.at[OUT_LIQ_NUM].add(
                 jnp.sum(jnp.where(rw2 > 0, nf, 0.0)))
             puddle = puddle.at[OUT_PRTCL_NUM].add(jnp.sum(nf))
+            if cfg.ice_switch:
+                # frozen SDs reaching the ground (bcnd.ipp:301-327)
+                from ..lgrngn import ice as ice_mod
+                from ..lgrngn.state import OUT_ICE_MASS, OUT_ICE_NUM
+                nfi = jnp.where(state.ice_a > 0, nf, 0.0)
+                mass = ice_mod.ice_mass(
+                    state.ice_a, state.ice_c, state.ice_rho)
+                puddle = puddle.at[OUT_ICE_MASS].add(jnp.sum(nfi * mass))
+                puddle = puddle.at[OUT_ICE_NUM].add(jnp.sum(nfi))
             n = jnp.where(fell, 0.0, n)
     return dataclasses.replace(state, z=z, n=n, puddle=puddle)
 

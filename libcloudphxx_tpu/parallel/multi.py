@@ -145,10 +145,13 @@ class particles_multi_t(particles_t):
                 f"per-device capacity {self._cap}; raise n_sd_max"
             )
         sel = [np.nonzero(shard == s)[0] for s in range(self.n_shards)]
+        per_sd_attrs = decomp.migrating_attrs(self.cfg) + ("ijk",)
         for f in dataclasses.fields(State):
             name = f.name
             v = np.asarray(getattr(g, name))
-            if name in decomp.MIGRATING_ATTRS or name == "ijk":
+            if v.size == 0:
+                per_sd[name] = jnp.asarray(v)
+            elif name in per_sd_attrs:
                 out = np.zeros((self.n_shards, self._cap), v.dtype)
                 for s in range(self.n_shards):
                     vv = v[sel[s]]
@@ -214,25 +217,16 @@ class particles_multi_t(particles_t):
 
     def _step_cond_impl(self, state, dt, RH_max, turb_cond, ice_nucl,
                         do_cond):
-        from ..lgrngn import condensation
+        from ..lgrngn.particles import step_cond_body
         cfg_l = self.cfg_l
 
-        dom = self.dom
-
         def fn(st, dom_, dt_, rhmax):
+            # courant-halo refresh (sync_in's xchng_courants), then the
+            # SAME condensation body the serial backend runs — features
+            # added to step_cond_body automatically reach the mesh
             st = decomp.xchng_courants(cfg_l, st, dom_)
-            st = hskpng.hskpng_Tpr(cfg_l, st)
-            if cfg_l.ice_switch and ice_nucl:
-                from ..lgrngn import ice as ice_mod
-                st = ice_mod.ice_nucl_melt(cfg_l, st, dt_,
-                                           cfg_l.time_dep_ice_nucl)
-                st = hskpng.hskpng_Tpr(cfg_l, st)
-            if do_cond:
-                st = condensation.cond_percell(cfg_l, st, dt_, rhmax,
-                                               turb_cond=turb_cond)
-                st = condensation.sstp_save(st,
-                                            exact=cfg_l.exact_sstp_cond)
-            return st
+            return step_cond_body(cfg_l, st, dt_, rhmax, turb_cond,
+                                  ice_nucl, do_cond)
 
         key = ("cond", turb_cond, ice_nucl, do_cond)
         if key not in self._shard_jits:

@@ -149,3 +149,122 @@ def test_step_timer():
         pass
     rep = t.report()
     assert "phase_a" in rep and "phase_b" in rep
+
+
+def test_relax_th_rv():
+    """th/rv relaxation toward the post-spinup horizontal means
+    (kin_cloud_2d_common.hpp update_rhs:90-117): after spinup the fields
+    are pulled back toward the saved profiles with tau growing with
+    altitude."""
+    from libcloudphxx_tpu.models import Kinematic2D
+    m = Kinematic2D(nx=10, nz=10, micro="blk_1m", grid="node", fct=True,
+                    relax_th_rv=True)
+    m.run(4, spinup=2)
+    assert m._th_eq is not None and m._th_eq.shape == (10,)
+    # perturb th strongly; relaxation must pull it back toward th_eq
+    m.th = np.broadcast_to(m._th_eq[None, :] + 5.0,
+                           m.th.shape).copy()
+    before = np.abs(m.th - m._th_eq[None, :]).mean()
+    m.step(spinup=False)
+    after = np.abs(m.th - m._th_eq[None, :]).mean()
+    assert after < before
+
+
+def test_multichip_exact_sstp_cond():
+    """exact per-particle substepping on the device mesh: the per-SD
+    sstp_tmp arrays shard and migrate with their SDs (reference conditional
+    distmem_real_vctrs registration, particles_impl.ipp:440-494)."""
+    from libcloudphxx_tpu import lgrngn
+
+    def lognormal(lnr):
+        return (60e6 * np.exp(-(lnr - np.log(0.02e-6)) ** 2
+                              / 2 / np.log(1.4) ** 2)
+                / np.log(1.4) / np.sqrt(2 * np.pi))
+
+    def build(dev_count):
+        oi = lgrngn.opts_init_t()
+        oi.nx, oi.nz = 12, 6
+        oi.dx = oi.dz = 25.0
+        oi.x1, oi.z1 = 300.0, 150.0
+        oi.dt = 1.0
+        oi.sd_conc = 16
+        oi.n_sd_max = 12 * 6 * 16 * 2
+        oi.sstp_cond = 4
+        oi.exact_sstp_cond = True
+        oi.dry_distros = {(0.61, 0.0): lognormal}
+        oi.terminal_velocity = lgrngn.vt_t.beard77fast
+        oi.kernel = lgrngn.kernel_t.geometric
+        oi.dev_count = dev_count
+        backend = (lgrngn.backend_t.multi_CUDA if dev_count > 1
+                   else lgrngn.backend_t.serial)
+        prt = lgrngn.factory(backend, oi)
+        th = np.full((12, 6), 289.99)
+        rv = np.full((12, 6), 7.5e-3)
+        rhod = np.full((12, 6), 1.12)
+        prt.init(th, rv, rhod, Cx=np.full((13, 6), 0.3),
+                 Cz=np.full((12, 7), 0.05))
+        return prt, th, rv
+
+    prt_s, th_s, rv_s = build(1)
+    prt_m, th_m, rv_m = build(4)
+    opts = lgrngn.opts_t()
+    opts.coal = False
+    for _ in range(4):
+        prt_s.step_sync(opts, th_s, rv_s)
+        prt_s.step_async(opts)
+        prt_m.step_sync(opts, th_m, rv_m)
+        prt_m.step_async(opts)
+    np.testing.assert_allclose(th_m, th_s, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(rv_m, rv_s, rtol=0, atol=1e-12)
+
+
+def test_multichip_open_side_walls():
+    """open x walls on the mesh: SDs leaving the global domain die instead
+    of wrapping through the ring (single-device transport.bcnd kills them)."""
+    from libcloudphxx_tpu import lgrngn
+
+    def lognormal(lnr):
+        return (60e6 * np.exp(-(lnr - np.log(0.02e-6)) ** 2
+                              / 2 / np.log(1.4) ** 2)
+                / np.log(1.4) / np.sqrt(2 * np.pi))
+
+    def build(dev_count):
+        oi = lgrngn.opts_init_t()
+        oi.nx, oi.nz = 8, 4
+        oi.dx = oi.dz = 10.0
+        oi.x1, oi.z1 = 80.0, 40.0
+        oi.dt = 1.0
+        oi.sd_conc = 8
+        oi.n_sd_max = 8 * 4 * 8 * 2
+        oi.open_side_walls = True
+        oi.dry_distros = {(0.61, 0.0): lognormal}
+        oi.terminal_velocity = lgrngn.vt_t.beard77fast
+        oi.kernel = lgrngn.kernel_t.geometric
+        oi.dev_count = dev_count
+        backend = (lgrngn.backend_t.multi_CUDA if dev_count > 1
+                   else lgrngn.backend_t.serial)
+        prt = lgrngn.factory(backend, oi)
+        th = np.full((8, 4), 289.99)
+        rv = np.full((8, 4), 7.5e-3)
+        rhod = np.full((8, 4), 1.12)
+        prt.init(th, rv, rhod, Cx=np.full((9, 4), 0.5),
+                 Cz=np.full((8, 5), 0.0))
+        return prt, th, rv
+
+    prt_s, th_s, rv_s = build(1)
+    prt_m, th_m, rv_m = build(4)
+    opts = lgrngn.opts_t()
+    opts.coal = False
+    opts.cond = False
+    opts.sedi = False
+    for _ in range(4):
+        prt_s.step_sync(opts, th_s, rv_s)
+        prt_s.step_async(opts)
+        prt_m.step_sync(opts, th_m, rv_m)
+        prt_m.step_async(opts)
+    for p in (prt_s, prt_m):
+        p.diag_all()
+        p.diag_sd_conc()
+    np.testing.assert_array_equal(prt_m.outbuf(), prt_s.outbuf())
+    # SDs really left: the rightward drift empties upstream columns
+    assert prt_s.outbuf().sum() < 8 * 4 * 8
