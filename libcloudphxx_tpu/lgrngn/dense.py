@@ -1,0 +1,497 @@
+"""Dense cell-major SDM stepping backend (the TPU occupancy-matrix layout).
+
+The flat engine (state.py) stores the SD population as (n_sd_max,) vectors
+keyed by a per-SD cell index — the direct analogue of the reference's sorted
+thrust vectors (src/impl/particles_impl.ipp:66-146).  On TPU the substep
+pipelines built on that layout are bound by *kernel count*: every per-cell
+reduction is a sort+cumsum (or segment-sum) over the whole population and
+every cell->SD read is a random-index gather, each op paying the ~ms-scale
+XLA kernel floor regardless of size.
+
+This module is the cell-major redesign: the population lives in a dense
+occupancy matrix of shape (n_cell, cap) with multiplicity n == 0 marking
+empty slots.  Consequences:
+
+  - cell -> SD "gathers" become row broadcasts (free, fused),
+  - per-cell reductions (latent heating, moments) become row reductions
+    (one VPU pass, no sort/cumsum/segment ops),
+  - the coalescence shuffle (reference particles_impl_coal.ipp:439-450:
+    shuffle-sort + adjacent pairing) becomes a batched lane-wise sort of
+    random keys — a cap-wide sort network instead of a global
+    population-wide sort,
+  - only re-binning after transport (once per model STEP, not per substep)
+    needs a global sort + scatter.
+
+Physics is shared with the flat engine (advance_rw2, kernel_value, vt_of,
+RH_of...), so the two backends cannot drift; tests/test_dense.py gates the
+dense step against the flat engine at f64.
+
+Reference parity map:
+  step_cond  = particles_step.ipp:237-256 percell substepping
+  step_async = particles_step.ipp:339-494 (coal/adve/sedi/bcnd/re-bin)
+"""
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..common import constants as c
+from ..common import theta_dry
+from . import coalescence as coal_mod
+from . import hskpng
+from . import vterm as vterm_mod
+from .enums import as_t, kernel_t
+from .state import (OUT_DRY_VOL, OUT_LIQ_NUM, OUT_LIQ_VOL, OUT_PRTCL_NUM,
+                    PUDDLE_KEYS, State, StaticConfig)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class DenseState:
+    """Cell-major SD population + per-cell thermodynamics.
+
+    SD attribute matrices have shape (n_cell, cap); cell vectors (n_cell,).
+    Empty slots carry n == 0.  Slot order within a row is meaningless (the
+    coalescence shuffle permutes rows freely) — SD identity is the tuple of
+    attributes riding together through every lane-wise sort."""
+
+    # --- per-SD attributes (n_cell, cap)
+    n: jax.Array
+    rw2: jax.Array
+    rd3: jax.Array
+    kpa: jax.Array
+    vt: jax.Array
+    x: jax.Array
+    z: jax.Array
+    # --- per-cell fields (n_cell,)
+    rhod: jax.Array
+    p: jax.Array
+    T: jax.Array
+    RH: jax.Array
+    eta: jax.Array
+    dv: jax.Array
+    sstp_tmp_th: jax.Array
+    sstp_tmp_rv: jax.Array
+    # --- courant fields, flattened staggered layout (same as State)
+    courant_x: jax.Array
+    courant_z: jax.Array
+    # --- bookkeeping
+    key: jax.Array
+    puddle: jax.Array          # same slots as State.puddle
+    overflow: jax.Array        # SDs dropped because a row filled up
+
+    @property
+    def cap(self):
+        return self.n.shape[1]
+
+    @property
+    def n_cell(self):
+        return self.n.shape[0]
+
+
+def _supported(cfg: StaticConfig):
+    """The dense backend covers the production kinematic workload; the
+    long-tail option combinations stay on the flat engine."""
+    if cfg.n_dims != 2:
+        raise NotImplementedError("dense engine: 2-D only")
+    if cfg.exact_sstp_cond or cfg.adaptive_sstp_cond:
+        raise NotImplementedError("dense engine: percell substepping only")
+    if cfg.ice_switch or cfg.chem_switch or cfg.turb_cond_switch:
+        raise NotImplementedError("dense engine: ice/chem/SGS not supported")
+    if cfg.diag_incloud_time:
+        raise NotImplementedError("dense engine: diag_incloud_time off only")
+    if not cfg.th_dry or cfg.const_p:
+        raise NotImplementedError("dense engine: th_dry, variable p only")
+    if as_t(cfg.adve_scheme) not in (as_t.implicit, as_t.euler):
+        raise NotImplementedError("dense engine: implicit/euler advection")
+
+
+# ------------------------------------------------------------------ pack/
+def _distribute(cfg: StaticConfig, cap, cell, vals):
+    """Sort SD slots by target cell and scatter them into a dense
+    (n_cell, cap) matrix; cell == n_cell marks dead slots (dropped).
+    Returns (dense_vals, n_overflowed)."""
+    n_cell = cfg.n_cell
+    N = cell.shape[0]
+    sorted_ = jax.lax.sort((cell.astype(jnp.int32),) + tuple(vals),
+                           num_keys=1)
+    cell_s, vals_s = sorted_[0], sorted_[1:]
+    bounds = jnp.searchsorted(cell_s, jnp.arange(n_cell + 1, dtype=jnp.int32))
+    off = bounds[:-1]
+    pos = jnp.arange(N, dtype=jnp.int32)
+    in_dom = cell_s < n_cell
+    lane = pos - jnp.where(in_dom, off[jnp.minimum(cell_s, n_cell - 1)], 0)
+    ok = in_dom & (lane < cap)
+    dest = jnp.where(ok, cell_s * cap + lane, N + n_cell * cap)
+    # one combined scatter for all attribute planes (same index vector)
+    stacked = jnp.stack(vals_s)
+    dense = jnp.zeros((stacked.shape[0], n_cell * cap), stacked.dtype)
+    dense = dense.at[:, dest].set(stacked, mode="drop")
+    dense = dense.reshape(stacked.shape[0], n_cell, cap)
+    # overflow: live slots that landed past the row capacity (vals[0] is n)
+    overflow = jnp.sum(jnp.where(in_dom & (lane >= cap),
+                                 (vals_s[0] > 0).astype(dense.dtype), 0.0))
+    return tuple(dense[i] for i in range(stacked.shape[0])), overflow
+
+
+_ATTRS = ("n", "rw2", "rd3", "kpa", "vt", "x", "z")
+
+
+def pack(cfg: StaticConfig, state: State, cap: int) -> DenseState:
+    """Flat State -> DenseState (one global sort + scatter)."""
+    _supported(cfg)
+    cell = jnp.where(state.n > 0, state.ijk, cfg.n_cell)
+    vals = tuple(getattr(state, a) for a in _ATTRS)
+    dense_vals, overflow = _distribute(cfg, cap, cell, vals)
+    d = dict(zip(_ATTRS, dense_vals))
+    return DenseState(
+        rhod=state.rhod, p=state.p, T=state.T, RH=state.RH, eta=state.eta,
+        dv=state.dv,
+        sstp_tmp_th=state.sstp_tmp_th, sstp_tmp_rv=state.sstp_tmp_rv,
+        courant_x=state.courant_x, courant_z=state.courant_z,
+        key=state.key, puddle=state.puddle, overflow=overflow, **d,
+    )
+
+
+def unpack(cfg: StaticConfig, d: DenseState, state: State) -> State:
+    """DenseState -> flat State (alive slots first, truncated to n_sd_max).
+
+    The caller must ensure the alive population fits n_sd_max (it always
+    does: stepping never creates SDs)."""
+    n_cell, cap = d.n.shape
+    flat = {a: getattr(d, a).reshape(-1) for a in _ATTRS}
+    alive = flat["n"] > 0
+    ijk = jnp.where(
+        alive,
+        jnp.repeat(jnp.arange(n_cell, dtype=jnp.int32), cap), 0)
+    deadkey = (~alive).astype(jnp.int32)
+    sorted_ = jax.lax.sort(
+        (deadkey, ijk) + tuple(flat[a] for a in _ATTRS), num_keys=1)
+    n_sd = state.n_sd_max
+    upd = {a: sorted_[2 + i][:n_sd] for i, a in enumerate(_ATTRS)}
+    upd["ijk"] = sorted_[1][:n_sd]
+    return dataclasses.replace(
+        state,
+        th=d.sstp_tmp_th, rv=d.sstp_tmp_rv, p=d.p, T=d.T, RH=d.RH, eta=d.eta,
+        sstp_tmp_th=d.sstp_tmp_th, sstp_tmp_rv=d.sstp_tmp_rv,
+        sstp_tmp_rh=d.rhod,
+        key=d.key, puddle=d.puddle, **upd,
+    )
+
+
+# --------------------------------------------------------------- cond ----
+def _Tpr(cfg: StaticConfig, th, rv, rhod):
+    """Per-cell T/p/RH/eta closure (hskpng_Tpr.ipp:219-305, th_dry path)."""
+    from ..common import vterm as cv
+    T = theta_dry.T(th, rhod)
+    p = theta_dry.p(rhod, rv, T)
+    RH = hskpng.RH_of(cfg, p, rv, T)
+    eta = cv.visc(T)
+    return T, p, RH, eta
+
+
+def step_cond(cfg: StaticConfig, d: DenseState, th, rv, dt, RH_max):
+    """Percell substepped condensation on the dense layout — the physics of
+    condensation.cond_percell/_cond_percell_sorted with the per-cell
+    liquid-water sum as one row reduction (reference particles_step.ipp:
+    237-256 + sstp_percell_step.ipp:7-49).
+
+    th/rv are the freshly-advected cell fields (n_cell,); returns the
+    post-condensation (DenseState, th, rv)."""
+    sstp = cfg.sstp_cond
+    dt_sub = dt / sstp
+
+    delta_th = th - d.sstp_tmp_th
+    delta_rv = rv - d.sstp_tmp_rv
+    # rewind to the pre-sync values; feed the advective delta back in sstp
+    # equal increments (sstp_percell_step.ipp:21-47)
+    th0, rv0 = d.sstp_tmp_th, d.sstp_tmp_rv
+
+    # loop invariants (match the flat engine's hoisting: mean free paths
+    # from the post-advection thermodynamic state)
+    T_e, p_e, _, _ = _Tpr(cfg, th, rv, d.rhod)
+    lam_D, lam_K = hskpng.hskpng_mfp(T_e, p_e)
+    wgt = d.n * ((4.0 / 3) * c.pi * c.rho_w) / (d.dv * d.rhod)[:, None]
+
+    shape = d.rw2.shape
+    row = lambda a: jnp.broadcast_to(a[:, None], shape)
+
+    def substep(_, carry):
+        rw2, th, rv = carry
+        th = th + delta_th / sstp
+        rv = rv + delta_rv / sstp
+        T, p, RH, eta = _Tpr(cfg, th, rv, d.rhod)
+        from .condensation import advance_rw2
+        rw2_new = advance_rw2(
+            dt_sub, rw2.ravel(), d.rd3.ravel(), d.kpa.ravel(),
+            d.vt.ravel(), row(d.rhod).ravel(), row(rv).ravel(),
+            row(T).ravel(), row(p).ravel(), row(RH).ravel(),
+            row(eta).ravel(), row(lam_D).ravel(), row(lam_K).ravel(),
+            RH_max,
+        ).reshape(shape)
+        drw3 = rw2_new * jnp.sqrt(rw2_new) - rw2 * jnp.sqrt(
+            jnp.maximum(rw2, 0.0))
+        drv = -jnp.sum(wgt * drw3, axis=1)
+        rv = rv + drv
+        th = th + drv * theta_dry.d_th_d_rv(T, th)
+        return rw2_new, th, rv
+
+    rw2, th, rv = jax.lax.fori_loop(0, sstp, substep, (d.rw2, th0, rv0))
+    T, p, RH, eta = _Tpr(cfg, th, rv, d.rhod)
+    d = dataclasses.replace(
+        d, rw2=rw2, T=T, p=p, RH=RH, eta=eta,
+        sstp_tmp_th=th, sstp_tmp_rv=rv,  # sstp_save (sstp_save.ipp:7-35)
+    )
+    return d, th, rv
+
+
+# --------------------------------------------------------------- coal ----
+def _lshift(a):
+    """a[:, i+1] with the last lane repeated (batched _shift_up)."""
+    return jnp.concatenate([a[:, 1:], a[:, -1:]], axis=1)
+
+
+def _rshift(a):
+    """a[:, i-1] with the first lane repeated."""
+    return jnp.concatenate([a[:, :1], a[:, :-1]], axis=1)
+
+
+def _rshift_mask(m):
+    """m[:, i-1] with False injected at lane 0."""
+    return jnp.concatenate(
+        [jnp.zeros_like(m[:, :1]), m[:, :-1]], axis=1)
+
+
+def coal_substep(cfg: StaticConfig, d: DenseState, params, dt, key,
+                 eff_table, r_max_um):
+    """One SDM coalescence substep, cell-major (reference
+    particles_impl_coal.ipp:273-546).
+
+    The reference's global shuffle-sort becomes one batched lane-wise sort
+    of random keys per row: alive slots draw u01 < 1, empty slots key 2.0 so
+    they sort past every live SD; all pair attributes ride the sort as
+    values.  No sort-back is needed — slot order within a row carries no
+    meaning."""
+    n_cell, cap = d.n.shape
+    u = jax.random.uniform(key, (n_cell, cap))
+    alive = d.n > 0
+    skey = jnp.where(alive, u, 2.0)
+
+    sorted_ = jax.lax.sort(
+        (skey, d.n, d.rw2, d.rd3, d.kpa, d.vt, d.x, d.z),
+        dimension=1, num_keys=1)
+    n_a, rw2_a, rd3_a, kpa_a, vt_a, x_s, z_s = sorted_[1:]
+
+    count = jnp.sum(alive, axis=1).astype(d.n.dtype)
+    # Shima 2009 sec 5.1.3 scale factor (coal.ipp:99-107)
+    half = jnp.floor(count / 2)
+    scale = jnp.where(count > 1, count * (count - 1) / 2.0 / half, 0.0)
+
+    lane = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    is_pair = (lane % 2 == 0) & (lane + 1 < count[:, None])
+
+    n_b = _lshift(n_a)
+    rw2_b = _lshift(rw2_a)
+    rd3_b = _lshift(rd3_a)
+    kpa_b = _lshift(kpa_a)
+    vt_b = _lshift(vt_a)
+
+    K = coal_mod.kernel_value(
+        cfg, params, n_a, n_b, rw2_a, rw2_b, vt_a, vt_b, rd3_a, rd3_b,
+        eff_table=eff_table, r_max_um=r_max_um,
+        rhod=d.rhod[:, None], eta=d.eta[:, None], diss_rate=0.0,
+    )
+    prob = dt / d.dv[:, None] * scale[:, None] * K
+    prob = jnp.where(is_pair, prob, 0.0)
+
+    # all-or-nothing multi-collision (coal.ipp:218-236)
+    col_no = jnp.floor(prob)
+    u01 = jax.random.uniform(jax.random.fold_in(key, 1), (n_cell, cap))
+    col_no = col_no + (u01 < prob - col_no)
+
+    a_is_big = n_a >= n_b
+    n_big = jnp.where(a_is_big, n_a, n_b)
+    n_small = jnp.where(a_is_big, n_b, n_a)
+    ratio = jnp.where(n_small > 0,
+                      jnp.floor(n_big / jnp.maximum(n_small, 1)), 0.0)
+    col_no = jnp.minimum(col_no, ratio)
+    happened = is_pair & (col_no > 0)
+
+    rw2_big = jnp.where(a_is_big, rw2_a, rw2_b)
+    rw2_small = jnp.where(a_is_big, rw2_b, rw2_a)
+    rd3_big = jnp.where(a_is_big, rd3_a, rd3_b)
+    rd3_small = jnp.where(a_is_big, rd3_b, rd3_a)
+    kpa_big = jnp.where(a_is_big, kpa_a, kpa_b)
+    kpa_small = jnp.where(a_is_big, kpa_b, kpa_a)
+
+    # Shima eqs. 12-13 (coal.ipp:118-143)
+    n_big_new = n_big - col_no * n_small
+    rw3_small_new = col_no * rw2_big * jnp.sqrt(rw2_big) \
+        + rw2_small * jnp.sqrt(rw2_small)
+    rw2_small_new = jnp.cbrt(rw3_small_new) ** 2
+    rd3_small_new = col_no * rd3_big + rd3_small
+    kpa_small_new = jnp.where(
+        rd3_small_new > 0,
+        (col_no * kpa_big * rd3_big + kpa_small * rd3_small)
+        / jnp.maximum(rd3_small_new, 1e-300),
+        kpa_small,
+    )
+
+    # pair outcome applied through lane shifts (lane p holds the math,
+    # lane p+1 reads it shifted) — exactly the flat engine's sorted-space
+    # write-back, minus the sort-back
+    hp = _rshift_mask(happened)
+    bigp = _rshift(a_is_big)
+
+    n_s = jnp.where(happened & a_is_big, n_big_new, n_a)
+    n_s = jnp.where(hp & ~bigp, _rshift(n_big_new), n_s)
+    rw2_s = jnp.where(happened & ~a_is_big, rw2_small_new, rw2_a)
+    rw2_s = jnp.where(hp & bigp, _rshift(rw2_small_new), rw2_s)
+    rd3_s = jnp.where(happened & ~a_is_big, rd3_small_new, rd3_a)
+    rd3_s = jnp.where(hp & bigp, _rshift(rd3_small_new), rd3_s)
+    kpa_s = jnp.where(happened & ~a_is_big, kpa_small_new, kpa_a)
+    kpa_s = jnp.where(hp & bigp, _rshift(kpa_small_new), kpa_s)
+
+    return dataclasses.replace(
+        d, n=n_s, rw2=rw2_s, rd3=rd3_s, kpa=kpa_s, vt=vt_a, x=x_s, z=z_s)
+
+
+def coal(cfg: StaticConfig, d: DenseState, params, dt, sstp_coal: int):
+    """The sstp_coal coalescence loop with per-substep terminal-velocity
+    refresh (particles_step.ipp:382-404 + hskpng_vterm_invalid)."""
+    dt_sub = dt / sstp_coal
+    eff_table, r_max_um = coal_mod.load_efficiency_table(kernel_t(cfg.kernel))
+    row = lambda a: a[:, None]
+
+    def body(_, carry):
+        d = carry
+        key, sub = jax.random.split(d.key)
+        vt = vterm_mod.vt_of(cfg, d.rw2, row(d.T), row(d.p), row(d.rhod),
+                             row(d.eta))
+        d = dataclasses.replace(d, vt=vt, key=key)
+        return coal_substep(cfg, d, params, dt_sub, sub, eff_table, r_max_um)
+
+    d = jax.lax.fori_loop(0, sstp_coal, body, d)
+    vt = vterm_mod.vt_of(cfg, d.rw2, row(d.T), row(d.p), row(d.rhod),
+                         row(d.eta))
+    return dataclasses.replace(d, vt=vt)
+
+
+# ---------------------------------------------------------- transport ----
+def _row_courants(cfg: StaticConfig, d: DenseState):
+    """Per-cell left/right/below/above courants as (n_cell,) slices of the
+    staggered fields — the dense replacement for the per-SD courant gathers
+    (reference init_grid.ipp:94-155 lft/rgt/blw/abv)."""
+    nx, nz = cfg.nx, cfg.nz
+    cx = d.courant_x.reshape(nx + 1, nz)
+    cz = d.courant_z.reshape(nx, nz + 1)
+    C_l = cx[:-1, :].reshape(-1)
+    C_r = cx[1:, :].reshape(-1)
+    C_b = cz[:, :-1].reshape(-1)
+    C_a = cz[:, 1:].reshape(-1)
+    return C_l, C_r, C_b, C_a
+
+
+def adve_sedi_bcnd(cfg: StaticConfig, d: DenseState, dt, do_sedi: bool):
+    """Advection + sedimentation + walls/puddle in one pass
+    (adve.ipp:28-93 implicit/euler, sedi.ipp:13-24, bcnd.ipp:214-365).
+
+    Cell->SD courant reads are row broadcasts of sliced staggered fields."""
+    n_cell, cap = d.n.shape
+    nz = cfg.nz
+    idx = jnp.arange(n_cell, dtype=jnp.int32)
+    i_row = (idx // nz)[:, None].astype(d.x.dtype)
+    k_row = (idx % nz)[:, None].astype(d.x.dtype)
+
+    C_l, C_r, C_b, C_a = _row_courants(cfg, d)
+    row = lambda a: a[:, None]
+
+    if as_t(cfg.adve_scheme) == as_t.implicit:
+        dCx = row(C_r - C_l)
+        x = (d.x + cfg.dx * (row(C_l) - i_row * dCx)) / (1.0 - dCx)
+        dCz = row(C_a - C_b)
+        z = (d.z + cfg.dz * (row(C_b) - k_row * dCz)) / (1.0 - dCz)
+    else:  # euler
+        dCx = row(C_r - C_l)
+        x = d.x + dCx * (d.x - cfg.dx * i_row) + cfg.dx * row(C_l)
+        dCz = row(C_a - C_b)
+        z = d.z + dCz * (d.z - cfg.dz * k_row) + cfg.dz * row(C_b)
+
+    if do_sedi:
+        z = z - dt * d.vt
+
+    n = d.n
+    puddle = d.puddle
+    # x walls
+    if not cfg.open_side_walls:
+        x = cfg.x0 + jnp.remainder(x - cfg.x0, cfg.x1 - cfg.x0)
+    else:
+        n = jnp.where((x >= cfg.x1) | (x < cfg.x0), 0.0, n)
+    # z walls
+    if cfg.periodic_topbot_walls:
+        z = cfg.z0 + jnp.remainder(z - cfg.z0, cfg.z1 - cfg.z0)
+    else:
+        n = jnp.where(z >= cfg.z1, 0.0, n)
+        fell = (z < cfg.z0) & (n > 0)
+        nf = jnp.where(fell, n, 0.0)
+        rw2 = d.rw2
+        liq_vol = jnp.sum(
+            4.0 / 3 * c.pi * nf * rw2 * jnp.sqrt(jnp.maximum(rw2, 0.0)))
+        dry_vol = jnp.sum(4.0 / 3 * c.pi * nf * d.rd3)
+        puddle = puddle.at[OUT_LIQ_VOL].add(liq_vol)
+        puddle = puddle.at[OUT_DRY_VOL].add(dry_vol)
+        puddle = puddle.at[OUT_LIQ_NUM].add(
+            jnp.sum(jnp.where(rw2 > 0, nf, 0.0)))
+        puddle = puddle.at[OUT_PRTCL_NUM].add(jnp.sum(nf))
+        n = jnp.where(fell, 0.0, n)
+
+    return dataclasses.replace(d, x=x, z=z, n=n, puddle=puddle)
+
+
+def rebin(cfg: StaticConfig, d: DenseState) -> DenseState:
+    """Redistribute SDs to the rows of their (possibly new) cells after
+    transport — the post_copy hskpng_ijk equivalent (post_copy.ipp:18-36).
+    One global multi-operand sort + one combined scatter."""
+    n_cell, cap = d.n.shape
+    flat = {a: getattr(d, a).reshape(-1) for a in _ATTRS}
+    alive = flat["n"] > 0
+    cell = hskpng.ijk_of_xyz(cfg, flat["x"], flat["x"], flat["z"])
+    cell = jnp.where(alive, cell, n_cell).astype(jnp.int32)
+    dense_vals, overflow = _distribute(
+        cfg, cap, cell, tuple(flat[a] for a in _ATTRS))
+    upd = dict(zip(_ATTRS, dense_vals))
+    return dataclasses.replace(
+        d, overflow=d.overflow + overflow, **upd)
+
+
+def step_async(cfg: StaticConfig, d: DenseState, params, dt,
+               sstp_coal: int, do_coal: bool, do_sedi: bool) -> DenseState:
+    """The transport-phase pipeline on the dense layout (reference
+    particles_step.ipp:339-494): vterm refresh -> coalescence -> advection
+    -> sedimentation -> boundaries/puddle -> re-binning."""
+    row = lambda a: a[:, None]
+    vt = vterm_mod.vt_of(cfg, d.rw2, row(d.T), row(d.p), row(d.rhod),
+                         row(d.eta))
+    d = dataclasses.replace(d, vt=vt)
+    if do_coal:
+        d = coal(cfg, d, params, dt, sstp_coal)
+    d = adve_sedi_bcnd(cfg, d, dt, do_sedi)
+    return rebin(cfg, d)
+
+
+# --------------------------------------------------------------- diag ----
+def moment(d: DenseState, rng_lo2, rng_hi2, power, specific=True):
+    """Per-cell wet-radius moment over an rw^2 range — row reduction
+    (the dense diag_wet_rng+diag_wet_mom, particles_impl_moms.ipp)."""
+    sel = (d.n > 0) & (d.rw2 >= rng_lo2) & (d.rw2 < rng_hi2)
+    nf = jnp.where(sel, d.n, 0.0)
+    if power == 0:
+        vals = nf
+    else:
+        vals = nf * jnp.where(sel, d.rw2, 1.0) ** (power / 2.0)
+    mom = jnp.sum(vals, axis=1)
+    if specific:
+        mom = mom / (d.dv * d.rhod)
+    return mom

@@ -530,31 +530,92 @@ class Kinematic2D:
             return (state, th, rv)
         return f
 
-    def _lgrngn_runner(self, sp: bool, n: int):
+    def _lgrngn_step_fn_dense(self, spinup: bool):
+        """One fused model step on the dense cell-major layout
+        (lgrngn/dense.py) — same pipeline as _lgrngn_step_fn with the SD
+        population held as a (n_cell, cap) occupancy matrix, so per-cell
+        reductions are row reductions and the coalescence shuffle is a
+        cap-wide batched sort."""
+        from ..lgrngn import dense as dense_mod
+        p = self.prtcls
+        cfg = p.cfg
+        oi = p.opts_init
+        dt = self.setup.dt
+        RH_max = 1.01 if spinup else 44.0
+        do_coal = (not spinup) and cfg.coal_switch \
+            and cfg.kernel != lgrngn_mod.kernel_t.undefined.value
+        do_sedi = (not spinup) and cfg.sedi_switch
+        params = jnp.asarray(np.asarray(oi.kernel_parameters, dtype=float))
+        gc_x, gc_z, G = self.gc_x, self.gc_z, self.G
+        n_iters, fct = self.mpdata_iters, self.fct
+        nx, nz = self.nx, self.nz
+
+        def f(carry):
+            d, th, rv = carry
+            th = mpdata.advect(th, gc_x, gc_z, G, n_iters=n_iters, fct=fct)
+            rv = mpdata.advect(rv, gc_x, gc_z, G, n_iters=n_iters, fct=fct)
+            d, thc, rvc = dense_mod.step_cond(
+                cfg, d, th.reshape(-1), rv.reshape(-1), dt, RH_max)
+            d = dense_mod.step_async(cfg, d, params, dt,
+                                     int(oi.sstp_coal), do_coal, do_sedi)
+            return (d, thc.reshape(nx, nz), rvc.reshape(nx, nz))
+        return f
+
+    def _lgrngn_runner(self, sp: bool, n: int, engine: str = "flat"):
         """Compiled scan over n fused steps, cached per (spinup, n)."""
         cache = getattr(self, "_lgrngn_runners", None)
         if cache is None:
             cache = self._lgrngn_runners = {}
-        key = (sp, n)
+        key = (sp, n, engine)
         if key not in cache:
-            f = self._lgrngn_step_fn(sp)
+            f = (self._lgrngn_step_fn_dense(sp) if engine == "dense"
+                 else self._lgrngn_step_fn(sp))
             cache[key] = jax.jit(lambda c: jax.lax.scan(
                 lambda carry, _: (f(carry), None), c, None, length=n)[0])
         return cache[key]
 
-    def run_device_lgrngn(self, nt, spinup=0):
+    def dense_capacity(self):
+        """Row capacity for the dense engine: 2x the densest initial cell,
+        rounded up to a multiple of 8 lanes."""
+        p = self.prtcls
+        counts = np.bincount(
+            np.asarray(p.state.ijk)[np.asarray(p.state.n) > 0],
+            minlength=p.cfg.n_cell)
+        return max(8, int(-(-2 * int(counts.max()) // 8) * 8))
+
+    def run_device_lgrngn(self, nt, spinup=0, engine="flat"):
         """Device-resident lgrngn run: lax.scan over fused model steps; host
-        sees th/rv only at the end."""
+        sees th/rv only at the end.  engine="dense" runs the cell-major
+        occupancy-matrix backend (lgrngn/dense.py)."""
         if self.relax_th_rv:
             raise NotImplementedError(
                 "relax_th_rv is only supported in the stepwise run() path")
         p = self.prtcls
-        carry = (p.state, jnp.asarray(self.th), jnp.asarray(self.rv))
+        if engine == "dense":
+            from ..lgrngn import dense as dense_mod
+            cap = self.dense_capacity()
+            flat_state = p.state
+            d = jax.jit(
+                dense_mod.pack, static_argnums=(0, 2)
+            )(p.cfg, flat_state, cap)
+            carry = (d, jnp.asarray(self.th), jnp.asarray(self.rv))
+        else:
+            carry = (p.state, jnp.asarray(self.th), jnp.asarray(self.rv))
         for n, sp in ((min(spinup, nt), True), (max(0, nt - spinup), False)):
             if n == 0:
                 continue
-            carry = self._lgrngn_runner(sp, n)(carry)
+            carry = self._lgrngn_runner(sp, n, engine)(carry)
         state, th, rv = carry
+        if engine == "dense":
+            dropped = float(state.overflow)
+            if dropped:
+                import warnings
+                warnings.warn(
+                    f"dense engine: {dropped:.0f} SDs dropped on row "
+                    f"overflow (capacity {state.cap}) — raise cap")
+            state = jax.jit(
+                dense_mod.unpack, static_argnums=0
+            )(p.cfg, state, flat_state)
         p.state = state
         self.th = np.asarray(th)
         self.rv = np.asarray(rv)
