@@ -18,9 +18,13 @@ Semantics mirror the reference:
     diag_puddle sums the per-shard accumulators
     (particles_multi_gpu_diag.ipp:14-68).
 
-Not supported sharded (loud errors, same spirit as the reference's
-"chemistry not compatible with distmem" guard, particles_impl.ipp:441):
-aerosol source/relaxation and the pred_corr SD advection scheme (halo 2).
+Aerosol source/relaxation run with exact full-domain semantics through a
+gather -> serial host phase -> re-scatter cycle (better than the reference
+multi_CUDA, which degrades relaxation to per-GPU local means with a warning,
+particles_multi_gpu_ctor.ipp:41).  Not supported sharded (loud errors,
+mirroring the reference's "chemistry is not compatible with MPI" guard,
+init_sanity_check.ipp:131): chemistry and the pred_corr SD advection scheme
+(courant halo of 2).
 """
 
 import dataclasses
@@ -125,6 +129,81 @@ class particles_multi_t(particles_t):
         for s, (off, w) in enumerate(zip(self.offs, self.widths)):
             out[s, :w] = g[off:off + w]
         return out.reshape(-1)
+
+    def _unpad_courant_x(self, arr):
+        nyz = max(1, self.cfg.ny) * max(1, self.cfg.nz)
+        a = np.asarray(arr).reshape(self.n_shards, self.nx_pad + 1, nyz)
+        g = np.zeros((self.cfg.nx + 1, nyz))
+        for s, (off, w) in enumerate(zip(self.offs, self.widths)):
+            g[off:off + w + 1] = a[s, :w + 1]
+        return g.reshape(-1)
+
+    def _unpad_courant_z(self, arr):
+        if self.cfg.n_dims <= 1:
+            return np.asarray(arr)
+        nyz1 = max(1, self.cfg.ny) * (max(1, self.cfg.nz) + 1)
+        a = np.asarray(arr).reshape(self.n_shards, self.nx_pad, nyz1)
+        return np.concatenate(
+            [a[s, :w] for s, w in enumerate(self.widths)], axis=0
+        ).reshape(-1)
+
+    def _unpad_courant_y(self, arr):
+        if self.cfg.n_dims != 3:
+            return np.asarray(arr)
+        ny1z = (self.cfg.ny + 1) * max(1, self.cfg.nz)
+        a = np.asarray(arr).reshape(self.n_shards, self.nx_pad, ny1z)
+        return np.concatenate(
+            [a[s, :w] for s, w in enumerate(self.widths)], axis=0
+        ).reshape(-1)
+
+    def _gather_state(self) -> State:
+        """Sharded local-coordinate state -> one global-coordinate State —
+        the inverse of _shard_state.  Used to run the host-RNG phases
+        (aerosol source / CCN relaxation) with exact full-domain semantics:
+        the reference's multi_CUDA degrades relaxation to per-GPU local
+        means with a warning (particles_multi_gpu_ctor.ipp:41); a
+        single-process mesh can afford the exact global pass instead."""
+        cfg = self.cfg
+        nyz = max(1, cfg.ny) * max(1, cfg.nz)
+        st = self.state
+        per_sd_attrs = decomp.migrating_attrs(cfg) + ("ijk",)
+        n2 = np.asarray(st.n).reshape(self.n_shards, self._cap)
+        alive = n2 > 0
+        out = {}
+        for f in dataclasses.fields(State):
+            name = f.name
+            v = np.asarray(getattr(st, name))
+            if name in per_sd_attrs and v.size:
+                vv = v.reshape(self.n_shards, self._cap)
+                if name == "x":
+                    vv = np.where(alive, vv + (self.offs * cfg.dx)[:, None],
+                                  0.0)
+                elif name == "ijk":
+                    vv = np.where(alive, vv + (self.offs * nyz)[:, None], 0)
+                out[name] = jnp.asarray(vv.reshape(-1))
+            elif name == "chem":
+                out[name] = jnp.zeros((8, 0))
+            elif name in ("ambient_chem", "sstp_tmp_chem"):
+                out[name] = jnp.zeros((6, 0))
+            elif name == "key":
+                out[name] = jnp.asarray(v.reshape(self.n_shards, -1)[0])
+            elif name == "puddle":
+                out[name] = jnp.asarray(
+                    v.reshape(self.n_shards, -1).sum(axis=0))
+            elif name == "courant_x":
+                out[name] = jnp.asarray(self._unpad_courant_x(v))
+            elif name == "courant_y":
+                out[name] = (jnp.asarray(self._unpad_courant_y(v))
+                             if cfg.n_dims == 3
+                             else jnp.zeros((0,)))
+            elif name == "courant_z":
+                out[name] = (jnp.asarray(self._unpad_courant_z(v))
+                             if cfg.n_dims > 1 else jnp.zeros((0,)))
+            elif v.size == 0:
+                out[name] = jnp.zeros((0,))
+            else:  # per-cell arrays
+                out[name] = jnp.asarray(self._unpad_cell(v))
+        return State(**out)
 
     def _shard_state(self, g: State) -> State:
         """Scatter a global-coordinate state into the sharded local layout
@@ -390,11 +469,54 @@ class particles_multi_t(particles_t):
         self._should_now_run_cond = True
 
     def step_async(self, opts):
-        if opts.src or opts.rlx:
-            raise RuntimeError(
-                "libcloudphxx: aerosol source/relaxation are not supported "
-                "on the device mesh yet"
-            )
+        do_src = bool(opts.src and (opts.src_dry_distros
+                                    or opts.src_dry_sizes))
+        do_rlx = bool(opts.rlx and self.opts_init.rlx_switch
+                      and self.opts_init.rlx_dry_distros)
+        if do_src or do_rlx:
+            # The reference multi_CUDA runs relaxation per-GPU on local
+            # means with a warning (particles_multi_gpu_ctor.ipp:41) and
+            # windows the source per domain (particles_step.ipp:452).  A
+            # single-process mesh can do better: gather the population to
+            # global coordinates, run the EXACT serial source/relaxation
+            # (host-RNG phases, every supstp steps), re-scatter.
+            dt = float(opts.dt) if opts.dt > 0 else self.cfg.dt
+            old_puddle_len = np.asarray(self.state.puddle).size \
+                // self.n_shards
+            g = self._gather_state()
+            saved_cfg, saved_state = self.cfg, self.state
+            self.cfg, self.state = self.cfg_global, g
+            try:
+                if do_src:
+                    self._src_ctr += 1
+                    self._apply_sources(opts, dt)
+                if do_rlx:
+                    self._rlx_ctr += 1
+                    if self._rlx_ctr % int(self.opts_init.supstp_rlx) == 0:
+                        from ..lgrngn import relax as relax_mod
+                        from ..lgrngn.particles import _tpr_jit
+                        st = _tpr_jit(self.cfg_global, self.state)
+                        st, _ = relax_mod.rlx_dry_distros(
+                            self.cfg_global, self.opts_init, st, dt,
+                            self._src_rng)
+                        self.state = st
+                g2 = self.state
+            except Exception:
+                self.cfg, self.state = saved_cfg, saved_state
+                raise
+            self.cfg = saved_cfg
+            sharded = self._shard_state(g2)
+            # _shard_state zeroes the puddle; park the gathered totals in
+            # shard 0's accumulator (diag_puddle sums across shards)
+            pud = np.zeros((self.n_shards, old_puddle_len))
+            pud[0] = np.asarray(g2.puddle)
+            sharded = dataclasses.replace(
+                sharded, puddle=jnp.asarray(pud.reshape(-1)))
+            self.state = self._put_state(sharded)
+            import copy as _copy
+            opts = _copy.copy(opts)
+            opts.src = False
+            opts.rlx = False
         super().step_async(opts)
 
     def _put_state(self, state):

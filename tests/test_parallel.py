@@ -338,3 +338,151 @@ def test_multichip_equals_serial_3d():
         return cols[:, np.lexsort(cols)]
     np.testing.assert_allclose(popul(prt_m), popul(prt_s),
                                rtol=1e-9, atol=1e-12)
+
+
+def test_multichip_src_equals_serial():
+    """Aerosol source through the public API on the mesh: the gather ->
+    exact serial source -> re-scatter path must reproduce the serial run
+    (reference distmem windows the source per domain,
+    particles_step.ipp:452; here the semantics are exactly global)."""
+    def lognormal(lnr):
+        return (60e6 * np.exp(-(lnr - np.log(0.02e-6)) ** 2
+                              / 2 / np.log(1.4) ** 2)
+                / np.log(1.4) / np.sqrt(2 * np.pi))
+
+    def lognormal_src(lnr):
+        return (60e4 * np.exp(-(lnr - np.log(0.05e-6)) ** 2
+                              / 2 / np.log(1.4) ** 2)
+                / np.log(1.4) / np.sqrt(2 * np.pi))
+
+    def build(dev_count):
+        nx, nz = 10, 4
+        oi = lgrngn.opts_init_t()
+        oi.nx, oi.nz = nx, nz
+        oi.dx = oi.dz = 25.0
+        oi.x1, oi.z1 = nx * 25.0, nz * 25.0
+        oi.dt = 1.0
+        oi.sd_conc = 16
+        oi.n_sd_max = nx * nz * 16 * 4
+        oi.dry_distros = {(0.61, 0.0): lognormal}
+        oi.terminal_velocity = lgrngn.vt_t.beard77fast
+        oi.kernel = lgrngn.kernel_t.geometric
+        oi.src_type = lgrngn.src_t.simple
+        # source box covering part of two shards (global coordinates)
+        oi.src_x0, oi.src_x1 = 50.0, 200.0
+        oi.src_z0, oi.src_z1 = 0.0, 50.0
+        oi.dev_count = dev_count
+        backend = (lgrngn.backend_t.multi_CUDA if dev_count > 1
+                   else lgrngn.backend_t.serial)
+        prt = lgrngn.factory(backend, oi)
+        th = np.full((nx, nz), 290.0)
+        rv = np.full((nx, nz), 7.5e-3)
+        rhod = np.full((nx, nz), 1.1)
+        Cx = np.full((nx + 1, nz), 0.2)
+        Cz = np.zeros((nx, nz + 1))
+        prt.init(th.copy(), rv.copy(), rhod, Cx=Cx, Cz=Cz)
+        return prt, th, rv
+
+    prt_s, th_s, rv_s = build(1)
+    prt_m, th_m, rv_m = build(3)
+    opts = lgrngn.opts_t()
+    opts.coal = False
+    opts.src = True
+    opts.src_dry_distros = {(0.61, 0.0): (lognormal_src, 8, 2)}
+    for _ in range(4):
+        prt_s.step_sync(opts, th_s, rv_s)
+        prt_s.step_async(opts)
+        prt_m.step_sync(opts, th_m, rv_m)
+        prt_m.step_async(opts)
+
+    for p in (prt_s, prt_m):
+        p.diag_all()
+        p.diag_sd_conc()
+    sd_s, sd_m = prt_s.outbuf().copy(), prt_m.outbuf().copy()
+    np.testing.assert_array_equal(sd_m, sd_s)
+    assert sd_s.max() > 16  # the source actually created SDs
+
+    def popul(p):
+        n = p.get_attr("n")
+        live = n > 0
+        cols = np.stack([p.get_attr("x")[live], p.get_attr("z")[live],
+                         n[live], p.get_attr("rd3")[live]])
+        return cols[:, np.lexsort(cols)]
+    pop_s, pop_m = popul(prt_s), popul(prt_m)
+    assert pop_s.shape == pop_m.shape
+    np.testing.assert_allclose(pop_m, pop_s, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(th_m, th_s, rtol=0, atol=1e-9)
+
+
+def test_multichip_rlx_equals_serial():
+    """CCN relaxation on the mesh: gathered exact semantics (the reference
+    multi_CUDA only does per-GPU local means, multi_gpu_ctor.ipp:41 —
+    the single-process mesh reproduces the serial run exactly)."""
+    def lognormal(lnr):
+        return (60e6 * np.exp(-(lnr - np.log(0.02e-6)) ** 2
+                              / 2 / np.log(1.4) ** 2)
+                / np.log(1.4) / np.sqrt(2 * np.pi))
+
+    def lognormal_rlx(lnr):
+        return 2.0 * lognormal(lnr)
+
+    def build(dev_count):
+        nx, nz = 9, 3
+        oi = lgrngn.opts_init_t()
+        oi.nx, oi.nz = nx, nz
+        oi.dx = oi.dz = 30.0
+        oi.x1, oi.z1 = nx * 30.0, nz * 30.0
+        oi.dt = 1.0
+        oi.sd_conc = 16
+        oi.n_sd_max = nx * nz * 16 * 4
+        oi.aerosol_independent_of_rhod = True
+        oi.dry_distros = {(0.61, 0.0): lognormal}
+        oi.terminal_velocity = lgrngn.vt_t.beard77fast
+        oi.kernel = lgrngn.kernel_t.geometric
+        oi.rlx_switch = True
+        oi.supstp_rlx = 2
+        oi.rlx_bins = 32
+        oi.rlx_sd_per_bin = 1
+        oi.rlx_timescale = 1.0
+        oi.rlx_dry_distros = {0.61: (lognormal_rlx, (0.0, 2.0),
+                                     (0.0, 30.0))}
+        oi.dev_count = dev_count
+        backend = (lgrngn.backend_t.multi_CUDA if dev_count > 1
+                   else lgrngn.backend_t.serial)
+        prt = lgrngn.factory(backend, oi)
+        th = np.full((nx, nz), 290.0)
+        rv = np.full((nx, nz), 7.5e-3)
+        rhod = np.full((nx, nz), 1.1)
+        Cx = np.full((nx + 1, nz), 0.15)
+        Cz = np.zeros((nx, nz + 1))
+        prt.init(th.copy(), rv.copy(), rhod, Cx=Cx, Cz=Cz)
+        return prt, th, rv
+
+    prt_s, th_s, rv_s = build(1)
+    prt_m, th_m, rv_m = build(3)
+    opts = lgrngn.opts_t()
+    opts.coal = False
+    opts.rlx = True
+    for _ in range(4):
+        prt_s.step_sync(opts, th_s, rv_s)
+        prt_s.step_async(opts)
+        prt_m.step_sync(opts, th_m, rv_m)
+        prt_m.step_async(opts)
+
+    for p in (prt_s, prt_m):
+        p.diag_all()
+        p.diag_wet_mom(0)
+    m0_s, m0_m = prt_s.outbuf().copy(), prt_m.outbuf().copy()
+    np.testing.assert_allclose(m0_m, m0_s, rtol=1e-9)
+
+    def popul(p):
+        n = p.get_attr("n")
+        live = n > 0
+        cols = np.stack([p.get_attr("x")[live], p.get_attr("z")[live],
+                         n[live], p.get_attr("rd3")[live]])
+        return cols[:, np.lexsort(cols)]
+    pop_s, pop_m = popul(prt_s), popul(prt_m)
+    assert pop_s.shape == pop_m.shape
+    np.testing.assert_allclose(pop_m, pop_s, rtol=1e-9, atol=1e-12)
+    # relaxation actually created SDs
+    assert pop_s.shape[1] > 9 * 3 * 16
