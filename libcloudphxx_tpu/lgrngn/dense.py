@@ -110,7 +110,7 @@ def _supported(cfg: StaticConfig):
 
 # ------------------------------------------------------------------ pack/
 def _distribute(cfg: StaticConfig, cap, cell, vals):
-    """Sort SD slots by target cell and scatter them into a dense
+    """Sort SD slots by target cell and gather them into a dense
     (n_cell, cap) matrix; cell == n_cell marks dead slots (dropped).
     Returns (dense_vals, n_overflowed)."""
     n_cell = cfg.n_cell
@@ -120,20 +120,26 @@ def _distribute(cfg: StaticConfig, cap, cell, vals):
     cell_s, vals_s = sorted_[0], sorted_[1:]
     bounds = jnp.searchsorted(cell_s, jnp.arange(n_cell + 1, dtype=jnp.int32))
     off = bounds[:-1]
+    # place sorted elements into their rows by GATHER: cell c's elements sit
+    # at sorted positions off[c]..off[c]+cnt[c]-1, so dense[c, l] =
+    # sorted[off[c] + l] masked by l < cnt[c].  Per-plane 1-D gathers — a
+    # single 2-D `at[:, dest].set` scatter degenerates catastrophically on
+    # TPU (measured ~100x), while 1-D gathers run at ~0.1 ms here.
+    cnt = bounds[1:] - bounds[:-1]
+    lane = jnp.arange(cap, dtype=jnp.int32)
+    gidx = jnp.minimum(off[:, None] + lane[None, :], N - 1)
+    mask = lane[None, :] < cnt[:, None]
+    dense_vals = tuple(
+        jnp.where(mask, v[gidx], 0.0) for v in vals_s)
+    # overflow: live slots that landed past the row capacity (vals[0] is n)
     pos = jnp.arange(N, dtype=jnp.int32)
     in_dom = cell_s < n_cell
-    lane = pos - jnp.where(in_dom, off[jnp.minimum(cell_s, n_cell - 1)], 0)
-    ok = in_dom & (lane < cap)
-    dest = jnp.where(ok, cell_s * cap + lane, N + n_cell * cap)
-    # one combined scatter for all attribute planes (same index vector)
-    stacked = jnp.stack(vals_s)
-    dense = jnp.zeros((stacked.shape[0], n_cell * cap), stacked.dtype)
-    dense = dense.at[:, dest].set(stacked, mode="drop")
-    dense = dense.reshape(stacked.shape[0], n_cell, cap)
-    # overflow: live slots that landed past the row capacity (vals[0] is n)
-    overflow = jnp.sum(jnp.where(in_dom & (lane >= cap),
-                                 (vals_s[0] > 0).astype(dense.dtype), 0.0))
-    return tuple(dense[i] for i in range(stacked.shape[0])), overflow
+    lane_of = pos - jnp.where(in_dom,
+                              off[jnp.minimum(cell_s, n_cell - 1)], 0)
+    overflow = jnp.sum(jnp.where(
+        in_dom & (lane_of >= cap),
+        (vals_s[0] > 0).astype(vals_s[0].dtype), 0.0))
+    return dense_vals, overflow
 
 
 _ATTRS = ("n", "rw2", "rd3", "kpa", "vt", "x", "z")

@@ -168,6 +168,12 @@ def migrate(cfg: StaticConfig, state: State, dom: ShardDomain, buf: int,
             if name == "x":
                 v = v + shift
             payload[name] = jnp.where(valid, v, 0.0)
+        if cfg.chem_switch:
+            # dissolved chemical masses ride the migration too (the
+            # reference registers them in distmem_real_vctrs,
+            # particles_impl.ipp:440-494)
+            payload["chem"] = jnp.where(valid[None, :],
+                                        state.chem[:, idx], 0.0)
         overflow = jnp.maximum(jnp.sum(mask) - buf, 0)
         return payload, valid, overflow
 
@@ -210,6 +216,9 @@ def migrate(cfg: StaticConfig, state: State, dom: ShardDomain, buf: int,
             updates[name] = getattr(st, name).at[tgt].set(
                 payload[name], mode="drop"
             )
+        if cfg.chem_switch:
+            updates["chem"] = st.chem.at[:, tgt].set(
+                payload["chem"], mode="drop")
         return dataclasses.replace(st, **updates)
 
     state = unpack(state, *recv_from_left)
@@ -264,6 +273,10 @@ def _bcnd_z_only(cfg: StaticConfig, state: State) -> State:
                     state.ice_a, state.ice_c, state.ice_rho)
                 puddle = puddle.at[OUT_ICE_MASS].add(jnp.sum(nfi * mass))
                 puddle = puddle.at[OUT_ICE_NUM].add(jnp.sum(nfi))
+            if cfg.chem_switch:
+                # dissolved chemical masses rain out (bcnd.ipp:330-340)
+                for s in range(8):
+                    puddle = puddle.at[s].add(jnp.sum(nf * state.chem[s]))
             n = jnp.where(fell, 0.0, n)
     return dataclasses.replace(state, z=z, n=n, puddle=puddle)
 

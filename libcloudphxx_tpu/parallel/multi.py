@@ -21,10 +21,11 @@ Semantics mirror the reference:
 Aerosol source/relaxation run with exact full-domain semantics through a
 gather -> serial host phase -> re-scatter cycle (better than the reference
 multi_CUDA, which degrades relaxation to per-GPU local means with a warning,
-particles_multi_gpu_ctor.ipp:41).  Not supported sharded (loud errors,
-mirroring the reference's "chemistry is not compatible with MPI" guard,
-init_sanity_check.ipp:131): chemistry and the pred_corr SD advection scheme
-(courant halo of 2).
+particles_multi_gpu_ctor.ipp:41).  Aqueous chemistry is fully sharded: chem
+attrs split on axis 1, trace gases per slab, dissolved masses ride the
+migration payload (the reference's MPI backend forbids chemistry,
+init_sanity_check.ipp:131 — the mesh does not need to).  Not supported
+sharded (loud error): the pred_corr SD advection scheme (courant halo of 2).
 """
 
 import dataclasses
@@ -59,12 +60,10 @@ class particles_multi_t(particles_t):
                 "libcloudphxx: pred_corr SD advection (courant halo of 2) "
                 "is not supported on a device mesh; use implicit or euler"
             )
-        if opts_init.chem_switch:
-            raise RuntimeError(
-                "libcloudphxx: chemistry is not compatible with the "
-                "multi-device backend yet (same restriction as the "
-                "reference's distmem backends)"
-            )
+        # aqueous chemistry is supported on the mesh (the reference's
+        # multi_CUDA supports it too; only the MPI backend forbids it,
+        # init_sanity_check.ipp:131) — chem attrs shard on axis 1 and ride
+        # the migration payload
         # round the per-shard SD capacity up so n_sd_max shards evenly
         self._cap = math.ceil(self.cfg.n_sd_max / n_dev)
         cfg_pad = dataclasses.replace(self.cfg, n_sd_max=self._cap * n_dev)
@@ -182,9 +181,19 @@ class particles_multi_t(particles_t):
                     vv = np.where(alive, vv + (self.offs * nyz)[:, None], 0)
                 out[name] = jnp.asarray(vv.reshape(-1))
             elif name == "chem":
-                out[name] = jnp.zeros((8, 0))
+                if cfg.chem_switch and v.size:
+                    vv = v.reshape(8, self.n_shards, self._cap)
+                    out[name] = jnp.asarray(
+                        np.where(alive[None], vv, 0.0).reshape(8, -1))
+                else:
+                    out[name] = jnp.zeros((8, 0))
             elif name in ("ambient_chem", "sstp_tmp_chem"):
-                out[name] = jnp.zeros((6, 0))
+                if cfg.chem_switch and v.size:
+                    out[name] = jnp.asarray(np.stack(
+                        [self._unpad_cell(row)
+                         for row in v.reshape(6, -1)]))
+                else:
+                    out[name] = jnp.zeros((6, 0))
             elif name == "key":
                 out[name] = jnp.asarray(v.reshape(self.n_shards, -1)[0])
             elif name == "puddle":
@@ -243,7 +252,13 @@ class particles_multi_t(particles_t):
                     out[s, :counts[s]] = vv
                 per_sd[name] = jnp.asarray(out.reshape(-1))
             elif name == "chem":
-                per_sd[name] = jnp.zeros((8, 0))
+                if cfg.chem_switch and v.size:
+                    out = np.zeros((8, self.n_shards, self._cap), v.dtype)
+                    for s in range(self.n_shards):
+                        out[:, s, :counts[s]] = v[:, sel[s]]
+                    per_sd[name] = jnp.asarray(out.reshape(8, -1))
+                else:
+                    per_sd[name] = jnp.zeros((8, 0))
             elif name == "key":
                 keys = np.stack([
                     np.asarray(jax.random.fold_in(g.key, s))
@@ -261,7 +276,11 @@ class particles_multi_t(particles_t):
             elif name == "courant_z":
                 per_sd[name] = jnp.asarray(self._pad_courant_z(v))
             elif name in ("ambient_chem", "sstp_tmp_chem"):
-                per_sd[name] = jnp.zeros((6, 0))
+                if cfg.chem_switch and v.size:
+                    per_sd[name] = jnp.asarray(np.stack(
+                        [self._pad_cell(row) for row in v.reshape(6, -1)]))
+                else:
+                    per_sd[name] = jnp.zeros((6, 0))
             elif name == "sstp_tmp_p" and v.size == 0:
                 per_sd[name] = jnp.zeros((0,))
             else:  # per-cell arrays
@@ -316,6 +335,29 @@ class particles_multi_t(particles_t):
                 in_specs=(spec, dom_spec, P(), P()),
                 out_specs=spec))
         return self._shard_jits[key](state, self.dom, dt, RH_max)
+
+    def _step_chem_impl(self, state, dt, do_dsl, do_dsc, do_rct):
+        from ..lgrngn import chemistry
+        cfg_l = self.cfg_l
+
+        def fn(st, dt_):
+            st = hskpng.hskpng_Tpr(cfg_l, st)
+            return chemistry.sstp_chem_loop(cfg_l, st, dt_, do_dsl, do_dsc,
+                                            do_rct)
+
+        key = ("chem", do_dsl, do_dsc, do_rct)
+        if key not in self._shard_jits:
+            spec = decomp.state_specs()
+            self._shard_jits[key] = jax.jit(jax.shard_map(
+                fn, mesh=self.mesh, in_specs=(spec, P()), out_specs=spec))
+        return self._shard_jits[key](state, dt)
+
+    def _chem_sync_out(self, ambient_chem):
+        if not ambient_chem:
+            return
+        dev = np.asarray(self.state.ambient_chem)
+        for key, arr in ambient_chem.items():
+            np.asarray(arr).reshape(-1)[:] = self._unpad_cell(dev[int(key)])
 
     def _step_async_impl(self, sstp_coal, switches, state, params, w_LS,
                          sgs_mix_len, dt):
@@ -460,9 +502,11 @@ class particles_multi_t(particles_t):
         if courant_z is not None:
             updates["courant_z"] = jnp.asarray(self._pad_courant_z(
                 np.asarray(courant_z, np.float64).reshape(-1)))
-        if ambient_chem:
-            raise RuntimeError(
-                "libcloudphxx: chemistry unsupported on the device mesh")
+        if self.cfg.chem_switch or ambient_chem:
+            gases = self._chem_updates(ambient_chem)
+            if gases is not None:
+                updates["ambient_chem"] = jnp.asarray(np.stack(
+                    [self._pad_cell(row) for row in np.asarray(gases)]))
         if updates:
             self.state = jax.device_put(
                 dataclasses.replace(self.state, **updates), self._sharding)

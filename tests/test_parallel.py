@@ -486,3 +486,84 @@ def test_multichip_rlx_equals_serial():
     np.testing.assert_allclose(pop_m, pop_s, rtol=1e-9, atol=1e-12)
     # relaxation actually created SDs
     assert pop_s.shape[1] > 9 * 3 * 16
+
+
+def test_multichip_chem_equals_serial():
+    """Aqueous chemistry on the device mesh: chem attrs shard on axis 1,
+    trace gases per slab, dissolved masses ride the migration — serial and
+    mesh runs must agree exactly (chemistry is deterministic).  The
+    reference's MPI backend forbids chemistry (init_sanity_check.ipp:131);
+    multi_CUDA supports it, and so does the mesh."""
+    from libcloudphxx_tpu.common.chem import chem_species_t
+    from libcloudphxx_tpu.common import lognormal as ln_mod
+
+    def lognormal(lnr):
+        return ln_mod.n_e(0.04e-6, 1.4, 60e6, lnr)
+
+    def build(dev_count):
+        nx, nz = 9, 3
+        oi = lgrngn.opts_init_t()
+        oi.nx, oi.nz = nx, nz
+        oi.dx = oi.dz = 25.0
+        oi.x1, oi.z1 = nx * 25.0, nz * 25.0
+        oi.dt = 1.0
+        oi.sd_conc = 16
+        oi.n_sd_max = nx * nz * 16 * 2
+        oi.dry_distros = {(0.61, 0.0): lognormal}
+        oi.terminal_velocity = lgrngn.vt_t.beard77fast
+        oi.kernel = lgrngn.kernel_t.geometric
+        oi.chem_switch = True
+        oi.chem_rho = 1.8e3
+        oi.sstp_chem = 2
+        oi.dev_count = dev_count
+        backend = (lgrngn.backend_t.multi_CUDA if dev_count > 1
+                   else lgrngn.backend_t.serial)
+        prt = lgrngn.factory(backend, oi)
+        shape = (nx, nz)
+        th = np.full(shape, 300.0)
+        rv = np.full(shape, 0.02)   # supersaturated: droplets activate
+        rhod = np.full(shape, 1.0)
+        chem = {
+            chem_species_t.SO2: np.full(shape, 2e-10),
+            chem_species_t.O3: np.full(shape, 5e-8),
+            chem_species_t.H2O2: np.full(shape, 5e-10),
+            chem_species_t.CO2: np.full(shape, 360e-6 * 44.0 / 29.0),
+            chem_species_t.NH3: np.full(shape, 1e-10),
+            chem_species_t.HNO3: np.full(shape, 1e-11),
+        }
+        Cx = np.full((nx + 1, nz), 0.25)
+        Cz = np.zeros((nx, nz + 1))
+        prt.init(th.copy(), rv.copy(), rhod, ambient_chem=chem,
+                 Cx=Cx, Cz=Cz)
+        return prt, th, rv, chem
+
+    prt_s, th_s, rv_s, chem_s = build(1)
+    prt_m, th_m, rv_m, chem_m = build(3)
+
+    opts = lgrngn.opts_t()
+    opts.coal = False
+    opts.chem_dsl = opts.chem_dsc = opts.chem_rct = True
+    SO2_before = chem_s[chem_species_t.SO2].copy()
+    for _ in range(4):
+        prt_s.step_sync(opts, th_s, rv_s, ambient_chem=chem_s)
+        prt_s.step_async(opts)
+        prt_m.step_sync(opts, th_m, rv_m, ambient_chem=chem_m)
+        prt_m.step_async(opts)
+
+    # gas depletion identical between serial and mesh
+    assert (chem_s[chem_species_t.SO2] < SO2_before).all()
+    for sp in chem_s:
+        np.testing.assert_allclose(chem_m[sp], chem_s[sp],
+                                   rtol=1e-9, atol=0)
+    np.testing.assert_allclose(th_m, th_s, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(rv_m, rv_s, rtol=0, atol=1e-12)
+
+    # dissolved-mass diagnostics agree (migration carried chem correctly)
+    for sp in (chem_species_t.S_VI, chem_species_t.SO2, chem_species_t.H):
+        for p in (prt_s, prt_m):
+            p.diag_all()
+            p.diag_chem(sp)
+        np.testing.assert_allclose(prt_m.outbuf(), prt_s.outbuf(),
+                                   rtol=1e-8)
+    assert prt_s.outbuf().max() > 0
+    assert prt_m.migration_overflow() == 0
