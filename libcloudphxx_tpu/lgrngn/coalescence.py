@@ -378,6 +378,14 @@ def coal_substep(cfg: StaticConfig, state: State, params, dt, key,
     # integer collisions + Bernoulli remainder (all-or-nothing
     # multi-collision, coal.ipp:218-236)
     col_no = jnp.floor(prob)
+    puddle = state.puddle
+    if cfg.pure_const_multi:
+        # a const-multi pair with floor(prob) >= 1 requests adaptive
+        # sstp_coal growth (coal.ipp:224-227); sticky flag, host-consumed
+        from .state import OUT_COAL_OVERFLOW
+        puddle = puddle.at[OUT_COAL_OVERFLOW].max(
+            (jnp.max(jnp.where(is_pair, col_no, 0.0)) >= 1.0
+             ).astype(puddle.dtype))
     u01 = jax.random.uniform(k_u01, (n_sd,))
     col_no = col_no + (u01 < prob - col_no)
 
@@ -461,7 +469,7 @@ def coal_substep(cfg: StaticConfig, state: State, params, dt, key,
         updates["incloud_time"] = unsorted[-1]
     # invalidate vt of the grown droplet: recomputed wholesale after the
     # substep (reference marks detail::invalid then hskpng_vterm_invalid)
-    return dataclasses.replace(state, **updates)
+    return dataclasses.replace(state, puddle=puddle, **updates)
 
 
 def coal(cfg: StaticConfig, state: State, params, dt, sstp_coal: int,
@@ -474,7 +482,7 @@ def coal(cfg: StaticConfig, state: State, params, dt, sstp_coal: int,
 
     # carry only the attributes coalescence mutates (plus the RNG key);
     # hauling the whole State through the XLA while loop costs real copies
-    carried = ("n", "rw2", "rd3", "kpa", "vt", "key")
+    carried = ("n", "rw2", "rd3", "kpa", "vt", "key", "puddle")
     if cfg.chem_switch:
         carried += ("chem",)
     if cfg.diag_incloud_time:

@@ -149,14 +149,28 @@ def _specific_mom3(cfg: StaticConfig, state: State):
     )
 
 
+def stale_mfp(state: State):
+    """Mean free paths from the cell T/p as they stand BEFORE the substep
+    loop's thermodynamic refresh — the reference computes hskpng_mfp once
+    per step from the previous step's Tpr (particles_step.ipp:190-196: no
+    hskpng_Tpr runs between sync_in and hskpng_mfp, so lambda_D/K date from
+    the end of the previous step); keeping that staleness matters for the
+    activation transient under sudden ambient jumps."""
+    return hskpng.hskpng_mfp(state.T, state.p)
+
+
 def cond_percell(cfg: StaticConfig, state: State, dt, RH_max,
-                 turb_cond: bool = False) -> State:
+                 turb_cond: bool = False, var_rho: bool = False,
+                 lam=None) -> State:
     """The per-cell substepped condensation phase of step_cond
     (reference particles_step.ipp:237-256).
 
-    th/rv advance from their pre-sync values in sstp_cond equal increments of
-    the host-model (advective) delta, interleaved with implicit droplet growth
-    and per-cell latent heating.
+    th/rv (and rhod, when the host passes it each step — the reference's
+    var_rho, particles_step.ipp:100 + sstp_percell_step.ipp:17-20) advance
+    from their pre-sync values in sstp_cond equal increments of the
+    host-model (advective) delta, interleaved with implicit droplet growth
+    and per-cell latent heating.  ``lam`` is the stale (lambda_D, lambda_K)
+    pair from stale_mfp; computed here as a fallback.
 
     TPU notes: the substep loop carries only the arrays that change (rw2 and
     the cell thermodynamics + SGS state) rather than the whole State pytree,
@@ -176,24 +190,31 @@ def cond_percell(cfg: StaticConfig, state: State, dt, RH_max,
         # (reference particles_step.ipp:199: exact branch needs sstp > 1)
         delta_th = jnp.zeros_like(state.th)
         delta_rv = jnp.zeros_like(state.rv)
+        delta_rh = jnp.zeros_like(state.th)
+        var_rho = False
     else:
         delta_th = state.th - state.sstp_tmp_th
         delta_rv = state.rv - state.sstp_tmp_rv
-        state = dataclasses.replace(
-            state, th=state.sstp_tmp_th, rv=state.sstp_tmp_rv
-        )
+        upd = dict(th=state.sstp_tmp_th, rv=state.sstp_tmp_rv)
+        if var_rho and sstp > 1:
+            # rhod is substepped too (sstp_percell_step.ipp:17-20 includes
+            # rhod when var_rho)
+            delta_rh = state.rhod - state.sstp_tmp_rh
+            upd["rhod"] = state.sstp_tmp_rh
+        else:
+            delta_rh = jnp.zeros_like(state.th)
+            var_rho = False
+        state = dataclasses.replace(state, **upd)
 
-    lambda_D, lambda_K = hskpng.hskpng_mfp(state.T, state.p)
+    lambda_D, lambda_K = lam if lam is not None else stale_mfp(state)
     # loop invariants hoisted out of the substep loop (XLA does not move
     # gathers out of while loops): per-SD dry attributes and cell constants
     ijk = state.ijk
-    rhod_sd = state.rhod[ijk]
     lam_D_sd = lambda_D[ijk]
     lam_K_sd = lambda_K[ijk]
-    wgt = state.n * (4.0 / 3) * c.pi * c.rho_w / (
-        (state.dv * state.rhod)[ijk] if cfg.n_dims > 0
-        else state.rhod[ijk] * state.dv[ijk]
-    )
+    # nominal per-SD weight; the (dv*rhod) normalisation is constant unless
+    # rhod is substepped (parcel: dv = 1/rhod, so it cancels either way)
+    wgt_nom = state.n * (4.0 / 3) * c.pi * c.rho_w
 
     if not cfg.ice_switch:
         # fast path: run the substep loop in cell-sorted SD order, so the
@@ -201,14 +222,15 @@ def cond_percell(cfg: StaticConfig, state: State, dt, RH_max,
         # of a scatter-add (TPU scatters cost ~8x a sort pass); one sort in,
         # one inverse sort out for the single mutated per-SD array (rw2)
         return _cond_percell_sorted(
-            cfg, state, dt_sub, sstp, RH_max, turb_cond,
-            delta_th, delta_rv, rhod_sd, lam_D_sd, lam_K_sd, wgt,
+            cfg, state, dt_sub, sstp, RH_max, turb_cond, var_rho,
+            delta_th, delta_rv, delta_rh, lam_D_sd, lam_K_sd, wgt_nom,
         )
 
     def substep(_, carry):
         st = carry
         st = dataclasses.replace(
-            st, th=st.th + delta_th / sstp, rv=st.rv + delta_rv / sstp
+            st, th=st.th + delta_th / sstp, rv=st.rv + delta_rv / sstp,
+            rhod=(st.rhod + delta_rh / sstp if var_rho else st.rhod),
         )
         if turb_cond:
             # SGS supersaturation perturbation accumulates each substep and
@@ -223,13 +245,15 @@ def cond_percell(cfg: StaticConfig, state: State, dt, RH_max,
         rw2_old = st.rw2
         rw2_new = advance_rw2(
             dt_sub, rw2_old, st.rd3, st.kpa, st.vt,
-            rhod_sd, g(st.rv), g(st.T), g(st.p), RH_sd, g(st.eta),
+            g(st.rhod), g(st.rv), g(st.T), g(st.p), RH_sd, g(st.eta),
             lam_D_sd, lam_K_sd, RH_max,
         )
         st = dataclasses.replace(st, rw2=rw2_new)
 
         # latent heating per cell from the summed per-SD rw^3 change
-        # (particles_impl_cond.ipp:105-135 + update_th_rv.ipp:90-180)
+        # (particles_impl_cond.ipp:105-135 + update_th_rv.ipp:90-180);
+        # specific moments divide by the CURRENT dv*rhod (moms_calc)
+        wgt = wgt_nom / g(st.dv * st.rhod)
         drw3 = rw2_new * jnp.sqrt(rw2_new) - rw2_old * jnp.sqrt(
             jnp.maximum(rw2_old, 0.0))
         drv = -jax.ops.segment_sum(
@@ -246,7 +270,7 @@ def cond_percell(cfg: StaticConfig, state: State, dt, RH_max,
         return st
 
     # carry only what the loop mutates: rw2 + cell thermodynamics (+ SGS ssp)
-    carried = ("rw2", "th", "rv", "T", "p", "RH", "eta", "dv", "ssp",
+    carried = ("rw2", "th", "rv", "rhod", "T", "p", "RH", "eta", "dv", "ssp",
                "dot_ssp", "key")
     if cfg.ice_switch:
         carried += ("ice_a", "ice_c", "ice_rho")
@@ -260,12 +284,15 @@ def cond_percell(cfg: StaticConfig, state: State, dt, RH_max,
     mini = jax.lax.fori_loop(
         0, sstp, substep_mini, {k: getattr(state, k) for k in carried}
     )
+    if var_rho:
+        # rhod ends at the host value it was rewound from
+        mini["rhod"] = full.rhod + delta_rh
     return dataclasses.replace(state, **mini)
 
 
 def _cond_percell_sorted(cfg, state, dt_sub, sstp, RH_max, turb_cond,
-                         delta_th, delta_rv, rhod_sd, lam_D_sd, lam_K_sd,
-                         wgt):
+                         var_rho, delta_th, delta_rv, delta_rh,
+                         lam_D_sd, lam_K_sd, wgt_nom):
     """Sorted-space body of cond_percell: identical physics, with the SD
     population traversed in cell order so the per-cell reduction is a
     segmented cumsum."""
@@ -274,15 +301,20 @@ def _cond_percell_sorted(cfg, state, dt_sub, sstp, RH_max, turb_cond,
     pos = jnp.arange(n_sd, dtype=jnp.int32)
 
     payload = (state.rw2, state.rd3, state.kpa, state.vt,
-               rhod_sd, lam_D_sd, lam_K_sd, wgt)
+               lam_D_sd, lam_K_sd, wgt_nom)
     if turb_cond:
         payload += (state.ssp, state.dot_ssp)
     sorted_ = jax.lax.sort((ijk, pos) + payload, num_keys=1)
     sijk, pos_s = sorted_[0], sorted_[1]
-    (rw2_s, rd3_s, kpa_s, vt_s, rhod_s, lamD_s, lamK_s, wgt_s
-     ) = sorted_[2:10]
-    ssp_s = sorted_[10] if turb_cond else jnp.zeros(())
-    dssp_s = sorted_[11] if turb_cond else jnp.zeros(())
+    (rw2_s, rd3_s, kpa_s, vt_s, lamD_s, lamK_s, wgt_s
+     ) = sorted_[2:9]
+    ssp_s = sorted_[9] if turb_cond else jnp.zeros(())
+    dssp_s = sorted_[10] if turb_cond else jnp.zeros(())
+
+    # when rhod is NOT substepped the (dv*rhod) weight normalisation is a
+    # loop invariant — keep the hoisted form on the hot path
+    if not var_rho:
+        wgt_s = wgt_s / (state.dv * state.rhod)[sijk]
 
     # last sorted index of each cell (cells are contiguous runs)
     ends = jnp.searchsorted(sijk, jnp.arange(1, cfg.n_cell + 1,
@@ -294,38 +326,43 @@ def _cond_percell_sorted(cfg, state, dt_sub, sstp, RH_max, turb_cond,
         return jnp.diff(tot, prepend=jnp.zeros((1,), tot.dtype))
 
     def substep(_, carry):
-        rw2c, th, rv, ssp = carry
+        rw2c, th, rv, rhod, ssp = carry
         th = th + delta_th / sstp
         rv = rv + delta_rv / sstp
+        if var_rho:
+            rhod = rhod + delta_rh / sstp
         if turb_cond:
             ssp = ssp + dt_sub * dssp_s
         stt = hskpng.hskpng_Tpr(cfg, dataclasses.replace(
-            state, th=th, rv=rv))
+            state, th=th, rv=rv, rhod=rhod))
         g = lambda arr: arr[sijk]
         RH_sd = g(stt.RH) + (ssp if turb_cond else 0.0)
         rw2_new = advance_rw2(
             dt_sub, rw2c, rd3_s, kpa_s, vt_s,
-            rhod_s, g(stt.rv), g(stt.T), g(stt.p), RH_sd, g(stt.eta),
+            g(stt.rhod), g(stt.rv), g(stt.T), g(stt.p), RH_sd, g(stt.eta),
             lamD_s, lamK_s, RH_max,
         )
         drw3 = rw2_new * jnp.sqrt(rw2_new) - rw2c * jnp.sqrt(
             jnp.maximum(rw2c, 0.0))
-        drv = -cell_sum(wgt_s * drw3)
+        wsub = wgt_s / g(stt.dv * stt.rhod) if var_rho else wgt_s
+        drv = -cell_sum(wsub * drw3)
         rv = stt.rv + drv
         th = stt.th + drv * theta_dry.d_th_d_rv(stt.T, stt.th)
-        return (rw2_new, th, rv, ssp)
+        return (rw2_new, th, rv, rhod, ssp)
 
     # NOTE: measured on TPU — unrolling this loop does not change runtime
     # (the substep cost is bandwidth/op-count bound, not loop-trip bound)
     # but inflates compile time ~10x, so it stays rolled
-    rw2_s, th, rv, ssp_s = jax.lax.fori_loop(
-        0, sstp, substep, (rw2_s, state.th, state.rv, ssp_s)
+    rw2_s, th, rv, rhod, ssp_s = jax.lax.fori_loop(
+        0, sstp, substep, (rw2_s, state.th, state.rv, state.rhod, ssp_s)
     )
 
     # restore original SD order for the mutated per-SD arrays
     restore = (pos_s, rw2_s) + ((ssp_s,) if turb_cond else ())
     restored = jax.lax.sort(restore, num_keys=1)
     updates = dict(rw2=restored[1], th=th, rv=rv)
+    if var_rho:
+        updates["rhod"] = rhod
     if turb_cond:
         updates["ssp"] = restored[2]
     state = dataclasses.replace(state, **updates)
@@ -354,14 +391,19 @@ def sstp_save(state: State, exact: bool = False) -> State:
 
 
 def cond_perparticle(cfg: StaticConfig, state: State, dt, RH_max,
-                     turb_cond: bool = False) -> State:
+                     turb_cond: bool = False, lam=None) -> State:
     """Exact per-particle condensation substepping
     (reference particles_step.ipp:219-232 + src/impl/condensation/
     perparticle/): each SD carries its own th/rv/rhod(/p) copy; the ambient
     (advective) change feeds in per-SD increments; growth and latent
     heating evolve the SD's private state; per-cell th/rv are updated once
     at the end.  Implements the sstp_cond_mix=True (instant in-cell mixing
-    each substep) and False (no mixing) variants."""
+    each substep) and False (no mixing) variants.
+
+    Mean free paths are the STALE cell values (stale_mfp; the reference's
+    perparticle_advance_rw2.ipp:13-30 gathers lambda_D/K[ijk] computed once
+    before the loop), while viscosity follows the SD's private temperature
+    — exactly the reference's split."""
     from ..common import theta_std
     from . import hskpng as hskpng_mod
 
@@ -370,6 +412,9 @@ def cond_perparticle(cfg: StaticConfig, state: State, dt, RH_max,
     mix = bool(cfg.sstp_cond_mix)
 
     g = lambda arr: arr[state.ijk]
+    lam_D_c, lam_K_c = lam if lam is not None else stale_mfp(state)
+    lam_D = g(lam_D_c)
+    lam_K = g(lam_K_c)
     # per-SD ambient deltas (calculate_noncond_perparticle_sstp_delta.ipp)
     dlt_rv = g(state.rv) - state.sstp_tmp_rv
     dlt_th = g(state.th) - state.sstp_tmp_th
@@ -397,10 +442,7 @@ def cond_perparticle(cfg: StaticConfig, state: State, dt, RH_max,
         RHp = hskpng_mod.RH_of(cfg, jnp.maximum(pp, 1.0), tmp_rv, Tp)
         if turb_cond:
             RHp = RHp + st.ssp
-        from ..common import mean_free_path as mfp
         from ..common import vterm as cv
-        lam_D = mfp.lambda_D(Tp)
-        lam_K = mfp.lambda_K(Tp, jnp.maximum(pp, 1.0))
         eta_p = cv.visc(Tp)
 
         rw3_old = st.rw2 * jnp.sqrt(jnp.maximum(st.rw2, 0.0))
@@ -500,8 +542,8 @@ def _apply_drv_to_cell_th_rv(cfg, state, drv):
 def _perparticle_thermo(cfg, tmp_th, tmp_rv, tmp_rh, tmp_p, ssp, turb_cond):
     """Per-SD thermodynamic closure from private ambient state
     (reference perparticle_nomixing_adaptive_sstp_cond.ipp:93-120:
-    _calc_Tp/_calc_sstp_tmp_p/_calc_RH)."""
-    from ..common import mean_free_path as mfp
+    _calc_Tp/_calc_sstp_tmp_p/_calc_RH).  Mean free paths are NOT part of
+    this closure — the reference uses the stale cell values (stale_mfp)."""
     from ..common import theta_std
     from ..common import vterm as cv
     from . import hskpng as hskpng_mod
@@ -514,14 +556,12 @@ def _perparticle_thermo(cfg, tmp_th, tmp_rv, tmp_rh, tmp_p, ssp, turb_cond):
     RHp = hskpng_mod.RH_of(cfg, jnp.maximum(pp, 1.0), tmp_rv, Tp)
     if turb_cond:
         RHp = RHp + ssp
-    lam_D = mfp.lambda_D(Tp)
-    lam_K = mfp.lambda_K(Tp, jnp.maximum(pp, 1.0))
     eta_p = cv.visc(Tp)
-    return Tp, pp, RHp, eta_p, lam_D, lam_K
+    return Tp, pp, RHp, eta_p
 
 
 def cond_perparticle_adaptive(cfg: StaticConfig, state: State, dt, RH_max,
-                              turb_cond: bool = False) -> State:
+                              turb_cond: bool = False, lam=None) -> State:
     """Adaptive per-SD condensation substepping, no in-cell mixing
     (reference perparticle_nomixing_adaptive_sstp_cond.ipp:8-335, driven
     from particles_step.ipp:199-218).
@@ -553,6 +593,10 @@ def cond_perparticle_adaptive(cfg: StaticConfig, state: State, dt, RH_max,
     dmax = cfg.sstp_cond_adapt_drw2_max
 
     g = lambda arr: arr[state.ijk]
+    # stale cell mean free paths (see cond_perparticle docstring)
+    lam_D_c, lam_K_c = lam if lam is not None else stale_mfp(state)
+    lam_D_sd = g(lam_D_c)
+    lam_K_sd = g(lam_K_c)
     # whole-step ambient deltas (calculate_noncond_perparticle_sstp_delta)
     dlt_rv = g(state.rv) - state.sstp_tmp_rv
     dlt_th = g(state.th) - state.sstp_tmp_th
@@ -569,12 +613,12 @@ def cond_perparticle_adaptive(cfg: StaticConfig, state: State, dt, RH_max,
     ssp0 = state.ssp if turb_cond else jnp.zeros_like(tmp_rv0)
 
     def grow(tmp_rv, tmp_th, tmp_rh, tmp_p, ssp, rw2, dt_sub):
-        Tp, pp, RHp, eta_p, lam_D, lam_K = _perparticle_thermo(
+        Tp, pp, RHp, eta_p = _perparticle_thermo(
             cfg, tmp_th, tmp_rv, tmp_rh, tmp_p, ssp, turb_cond
         )
         rw2_new = advance_rw2(
             dt_sub, rw2, state.rd3, state.kpa, state.vt,
-            tmp_rh, tmp_rv, Tp, pp, RHp, eta_p, lam_D, lam_K, RH_max,
+            tmp_rh, tmp_rv, Tp, pp, RHp, eta_p, lam_D_sd, lam_K_sd, RH_max,
         )
         return rw2_new, Tp
 

@@ -112,33 +112,44 @@ def _supported(cfg: StaticConfig):
 def _distribute(cfg: StaticConfig, cap, cell, vals):
     """Sort SD slots by target cell and gather them into a dense
     (n_cell, cap) matrix; cell == n_cell marks dead slots (dropped).
-    Returns (dense_vals, n_overflowed)."""
+    Returns (dense_vals, n_overflowed).
+
+    Cost note (TPU, 740k slots): riding all 7 attribute planes through the
+    global sort costs ~150 ms (multi-operand f32 sorts are the slowest op
+    class); sorting ONE (cell, pos) i32 pair and permuting the planes with
+    composed gathers is several times cheaper, at identical results (the
+    sort is stable either way).  LIBCLOUD_DENSE_DISTRIBUTE=ride restores
+    the ride-the-sort variant for A/B."""
+    import os
     n_cell = cfg.n_cell
     N = cell.shape[0]
-    sorted_ = jax.lax.sort((cell.astype(jnp.int32),) + tuple(vals),
-                           num_keys=1)
-    cell_s, vals_s = sorted_[0], sorted_[1:]
-    bounds = jnp.searchsorted(cell_s, jnp.arange(n_cell + 1, dtype=jnp.int32))
-    off = bounds[:-1]
-    # place sorted elements into their rows by GATHER: cell c's elements sit
-    # at sorted positions off[c]..off[c]+cnt[c]-1, so dense[c, l] =
-    # sorted[off[c] + l] masked by l < cnt[c].  Per-plane 1-D gathers — a
-    # single 2-D `at[:, dest].set` scatter degenerates catastrophically on
-    # TPU (measured ~100x), while 1-D gathers run at ~0.1 ms here.
-    cnt = bounds[1:] - bounds[:-1]
     lane = jnp.arange(cap, dtype=jnp.int32)
-    gidx = jnp.minimum(off[:, None] + lane[None, :], N - 1)
-    mask = lane[None, :] < cnt[:, None]
-    dense_vals = tuple(
-        jnp.where(mask, v[gidx], 0.0) for v in vals_s)
-    # overflow: live slots that landed past the row capacity (vals[0] is n)
-    pos = jnp.arange(N, dtype=jnp.int32)
-    in_dom = cell_s < n_cell
-    lane_of = pos - jnp.where(in_dom,
-                              off[jnp.minimum(cell_s, n_cell - 1)], 0)
-    overflow = jnp.sum(jnp.where(
-        in_dom & (lane_of >= cap),
-        (vals_s[0] > 0).astype(vals_s[0].dtype), 0.0))
+    if os.environ.get("LIBCLOUD_DENSE_DISTRIBUTE", "gather") == "ride":
+        sorted_ = jax.lax.sort((cell.astype(jnp.int32),) + tuple(vals),
+                               num_keys=1)
+        cell_s, vals_s = sorted_[0], sorted_[1:]
+        bounds = jnp.searchsorted(cell_s,
+                                  jnp.arange(n_cell + 1, dtype=jnp.int32))
+        off = bounds[:-1]
+        cnt = bounds[1:] - bounds[:-1]
+        gidx = jnp.minimum(off[:, None] + lane[None, :], N - 1)
+        mask = lane[None, :] < cnt[:, None]
+        dense_vals = tuple(jnp.where(mask, v[gidx], 0.0) for v in vals_s)
+    else:
+        pos = jnp.arange(N, dtype=jnp.int32)
+        cell_s, pos_s = jax.lax.sort(
+            (cell.astype(jnp.int32), pos), num_keys=1)
+        bounds = jnp.searchsorted(cell_s,
+                                  jnp.arange(n_cell + 1, dtype=jnp.int32))
+        off = bounds[:-1]
+        cnt = bounds[1:] - bounds[:-1]
+        # dense[c, l] = flat[pos_s[off[c] + l]] — one contiguous gather of
+        # the permutation, then one permuted gather per attribute plane
+        gidx = jnp.minimum(off[:, None] + lane[None, :], N - 1)
+        src = pos_s[gidx]
+        mask = lane[None, :] < cnt[:, None]
+        dense_vals = tuple(jnp.where(mask, v[src], 0.0) for v in vals)
+    overflow = jnp.sum(jnp.maximum(cnt - cap, 0))
     return dense_vals, overflow
 
 
@@ -215,10 +226,10 @@ def step_cond(cfg: StaticConfig, d: DenseState, th, rv, dt, RH_max):
     # equal increments (sstp_percell_step.ipp:21-47)
     th0, rv0 = d.sstp_tmp_th, d.sstp_tmp_rv
 
-    # loop invariants (match the flat engine's hoisting: mean free paths
-    # from the post-advection thermodynamic state)
-    T_e, p_e, _, _ = _Tpr(cfg, th, rv, d.rhod)
-    lam_D, lam_K = hskpng.hskpng_mfp(T_e, p_e)
+    # loop invariants; mean free paths are STALE — from the cell T/p of the
+    # previous step's end (matches the flat engine's stale_mfp and the
+    # reference's once-per-step hskpng_mfp, particles_step.ipp:190-196)
+    lam_D, lam_K = hskpng.hskpng_mfp(d.T, d.p)
     wgt = d.n * ((4.0 / 3) * c.pi * c.rho_w) / (d.dv * d.rhod)[:, None]
 
     shape = d.rw2.shape
@@ -314,6 +325,12 @@ def coal_substep(cfg: StaticConfig, d: DenseState, params, dt, key,
 
     # all-or-nothing multi-collision (coal.ipp:218-236)
     col_no = jnp.floor(prob)
+    puddle = d.puddle
+    if cfg.pure_const_multi:
+        # adaptive sstp_coal growth request (coal.ipp:224-227)
+        from .state import OUT_COAL_OVERFLOW
+        puddle = puddle.at[OUT_COAL_OVERFLOW].max(
+            (jnp.max(col_no) >= 1.0).astype(puddle.dtype))
     u01 = jax.random.uniform(jax.random.fold_in(key, 1), (n_cell, cap))
     col_no = col_no + (u01 < prob - col_no)
 
@@ -361,7 +378,8 @@ def coal_substep(cfg: StaticConfig, d: DenseState, params, dt, key,
     kpa_s = jnp.where(hp & bigp, _rshift(kpa_small_new), kpa_s)
 
     return dataclasses.replace(
-        d, n=n_s, rw2=rw2_s, rd3=rd3_s, kpa=kpa_s, vt=vt_a, x=x_s, z=z_s)
+        d, n=n_s, rw2=rw2_s, rd3=rd3_s, kpa=kpa_s, vt=vt_a, x=x_s, z=z_s,
+        puddle=puddle)
 
 
 def coal(cfg: StaticConfig, d: DenseState, params, dt, sstp_coal: int):

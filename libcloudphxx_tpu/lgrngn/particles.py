@@ -57,10 +57,18 @@ def _rc2_of(state: State, T_sd):
 
 def step_cond_body(cfg: StaticConfig, state: State, dt, RH_max,
                    turb_cond: bool = False, ice_nucl: bool = False,
-                   do_cond: bool = True):
+                   do_cond: bool = True, var_rho: bool = False):
     """The full condensation-phase pipeline as a pure function — shared by
     the single-device jit below and the multi-device shard_map front-end
-    (parallel/multi.py), so mesh and serial backends cannot drift."""
+    (parallel/multi.py), so mesh and serial backends cannot drift.
+
+    ``var_rho`` mirrors the reference's per-step flag (particles_step.ipp:
+    100): true when the host passed rhod this sync, which makes the percell
+    substepping feed the rhod change incrementally too."""
+    # mean free paths date from the PREVIOUS step's thermodynamic state
+    # (reference hskpng_mfp runs before any Tpr refresh,
+    # particles_step.ipp:190-196) — compute them before the Tpr below
+    lam = condensation.stale_mfp(state) if do_cond else None
     state = hskpng.hskpng_Tpr(cfg, state)
     if cfg.ice_switch and ice_nucl:
         # freezing/melting phase changes (particles_step.ipp:183-185)
@@ -75,11 +83,11 @@ def step_cond_body(cfg: StaticConfig, state: State, dt, RH_max,
         # exact per-particle substepping (particles_step.ipp:199-236)
         if cfg.adaptive_sstp_cond:
             state = condensation.cond_perparticle_adaptive(
-                cfg, state, dt, RH_max, turb_cond=turb_cond
+                cfg, state, dt, RH_max, turb_cond=turb_cond, lam=lam
             )
         else:
             state = condensation.cond_perparticle(
-                cfg, state, dt, RH_max, turb_cond=turb_cond
+                cfg, state, dt, RH_max, turb_cond=turb_cond, lam=lam
             )
         state = condensation.sstp_save(state, exact=True)
         return state
@@ -94,17 +102,18 @@ def step_cond_body(cfg: StaticConfig, state: State, dt, RH_max,
             ),
         )
     state = condensation.cond_percell(cfg, state, dt, RH_max,
-                                      turb_cond=turb_cond)
+                                      turb_cond=turb_cond, var_rho=var_rho,
+                                      lam=lam)
     state = condensation.sstp_save(state, exact=cfg.exact_sstp_cond)
     return state
 
 
-@partial(jax.jit, static_argnums=(0, 4, 5, 6))
+@partial(jax.jit, static_argnums=(0, 4, 5, 6, 7))
 def _step_cond_jit(cfg: StaticConfig, state: State, dt, RH_max,
                    turb_cond: bool = False, ice_nucl: bool = False,
-                   do_cond: bool = True):
+                   do_cond: bool = True, var_rho: bool = False):
     return step_cond_body(cfg, state, dt, RH_max, turb_cond, ice_nucl,
-                          do_cond)
+                          do_cond, var_rho)
 
 
 @partial(jax.jit, static_argnums=0)
@@ -212,14 +221,32 @@ class particles_t:
         self._src_ctr = 0
         self._rlx_ctr = 0
         self._src_rng = np.random.default_rng(opts_init.rng_seed + 1)
+        # adaptive coalescence substep growth: const-multi collision
+        # overflow requests one more substep (reference coal.ipp:224-227 +
+        # particles_step.ipp:394-400; kept persistent here — the growth is
+        # meant to carry to later steps)
+        self._sstp_coal_extra = 0
+
+    def _cfg_for_dt(self, cfg, dt):
+        """Variable-dt substep rescale (reference
+        particles_impl_adjust_timesteps.ipp:17-21): substep counts > 1 scale
+        by ceil(sstp * dt / opts_init.dt)."""
+        if dt == self.cfg.dt:
+            return cfg
+        def adj(s):
+            return int(math.ceil(s * dt / self.cfg.dt)) if s > 1 else s
+        return dataclasses.replace(
+            cfg, sstp_cond=adj(cfg.sstp_cond),
+            sstp_cond_act=adj(cfg.sstp_cond_act),
+            sstp_chem=adj(cfg.sstp_chem))
 
     # ---- device-work hooks: the multi-device front-end
     # (parallel/multi.py) overrides these with shard_map'd equivalents
     def _step_cond_impl(self, *args):
-        return _step_cond_jit(self.cfg, *args)
+        return _step_cond_jit(self._cfg_for_dt(self.cfg, args[1]), *args)
 
     def _step_chem_impl(self, *args):
-        return _step_chem_jit(self.cfg, *args)
+        return _step_chem_jit(self._cfg_for_dt(self.cfg, args[1]), *args)
 
     def _step_async_impl(self, *args):
         return _step_async_jit(self.cfg, *args)
@@ -419,6 +446,9 @@ class particles_t:
                 updates["ambient_chem"] = gases
         if updates:
             self.state = dataclasses.replace(self.state, **updates)
+        # var_rho flag: the host passed a (possibly changing) density this
+        # sync (reference particles_step.ipp:100)
+        self._var_rho = rhod is not None
         self._should_now_run_cond = True
 
     def step_cond(self, opts: opts_t, th=None, rv=None, ambient_chem=None):
@@ -430,6 +460,12 @@ class particles_t:
             )
         self._should_now_run_cond = False
         dt = float(opts.dt) if opts.dt > 0 else self.cfg.dt
+        if opts.dt > 0 and not self.opts_init.variable_dt_switch:
+            # reference adjust_timesteps.ipp:16 (called from step_cond too)
+            raise RuntimeError(
+                "libcloudphxx: opts.dt specified, but "
+                "opts_init.variable_dt_switch is false"
+            )
         if opts.turb_cond and not self.cfg.turb_cond_switch:
             raise RuntimeError(
                 "libcloudphxx: turb_cond_switch=False, but turb_cond==True"
@@ -440,6 +476,7 @@ class particles_t:
                 bool(opts.turb_cond),
                 bool(opts.ice_nucl and self.cfg.ice_switch),
                 bool(opts.cond),
+                bool(getattr(self, "_var_rho", False)),
             )
             # sync out
             if th is not None:
@@ -518,9 +555,11 @@ class particles_t:
             )
 
         # substep count follows a variable dt (adjust_timesteps.ipp:14-24)
+        # plus any adaptive growth from const-multi collision overflow
         sstp = self.opts_init.sstp_coal
         if opts.dt > 0 and sstp > 1:
             sstp = math.ceil(sstp * dt / self.cfg.dt)
+        sstp += self._sstp_coal_extra
         params = jnp.asarray(
             np.asarray(self.opts_init.kernel_parameters, dtype=np.float64)
         )
@@ -544,11 +583,11 @@ class particles_t:
             self._rlx_ctr += 1
             if self._rlx_ctr % int(self.opts_init.supstp_rlx) == 0:
                 from . import relax as relax_mod
-                state = _tpr_jit(self.cfg, self.state)
-                state, _ = relax_mod.rlx_dry_distros(
-                    self.cfg, self.opts_init, state, dt, self._src_rng
+                eng = self._src_engine()
+                relax_mod.rlx_dry_distros(
+                    self.cfg, self.opts_init, eng, dt, self._src_rng
                 )
-                self.state = state
+                self._absorb_engine(eng)
 
         if do_coal or do_adve or do_sedi or do_subs or do_turb_adve \
                 or do_turb_cond or do_rcyc:
@@ -558,12 +597,32 @@ class particles_t:
                  do_turb_cond, do_rcyc, do_turb_coal),
                 self.state, params, w_LS, sgs_mix_len, dt,
             )
+        if do_coal and self.cfg.pure_const_multi:
+            # consume the adaptive-substep request flag
+            # (particles_step.ipp:394-400)
+            from .state import N_PUDDLE, OUT_COAL_OVERFLOW
+            pud = np.asarray(self.state.puddle)
+            if pud.reshape(-1, N_PUDDLE)[:, OUT_COAL_OVERFLOW].max() > 0:
+                self._sstp_coal_extra += 1
+                pud = pud.copy()
+                pud.reshape(-1, N_PUDDLE)[:, OUT_COAL_OVERFLOW] = 0.0
+                self.state = dataclasses.replace(
+                    self.state, puddle=jnp.asarray(pud))
         from ..utils import debug as _dbg
         if _dbg.enabled():
             _dbg.nancheck_state(self.state, "step_async")
 
+    def _src_engine(self):
+        """Backend adapter for source/relaxation (refreshes T/RH first —
+        the reference's src/rlx read the current Tpr state)."""
+        return source_mod.StateEngine(self.cfg, _tpr_jit(self.cfg,
+                                                         self.state))
+
+    def _absorb_engine(self, eng):
+        self.state = eng.state
+
     def _apply_sources(self, opts, dt):
-        state = _tpr_jit(self.cfg, self.state)
+        eng = self._src_engine()
         oi = self.opts_init
         from .enums import src_t
         due_distros = {
@@ -572,13 +631,13 @@ class particles_t:
         }
         if due_distros:
             if oi.src_type == src_t.matching:
-                state, _ = source_mod.src_matching_distros(
-                    self.cfg, oi, state, due_distros, dt, self._src_rng,
+                source_mod.src_matching_distros(
+                    self.cfg, oi, eng, due_distros, dt, self._src_rng,
                     oi.RH_max,
                 )
             else:
-                state, _ = source_mod.src_simple_distros(
-                    self.cfg, oi, state, due_distros, dt, self._src_rng,
+                source_mod.src_simple_distros(
+                    self.cfg, oi, eng, due_distros, dt, self._src_rng,
                     oi.RH_max,
                 )
         due_sizes = {
@@ -588,10 +647,10 @@ class particles_t:
         }
         due_sizes = {k: v for k, v in due_sizes.items() if v}
         if due_sizes:
-            state, _ = source_mod.src_dry_sizes(
-                self.cfg, oi, state, due_sizes, dt, self._src_rng, oi.RH_max,
+            source_mod.src_dry_sizes(
+                self.cfg, oi, eng, due_sizes, dt, self._src_rng, oi.RH_max,
             )
-        self.state = state
+        self._absorb_engine(eng)
 
     # ----------------------------------------------------------- diagnostics
     def _require_init(self):

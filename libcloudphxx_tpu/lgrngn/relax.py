@@ -4,11 +4,18 @@ TPU-native equivalent of reference src/impl/sources_and_relaxation_of_SDs/
 particles_impl_rlx_dry_distros.ipp: per (kappa, z-range), compare the
 bin-resolved horizontally-summed CCN count against the expected profile and
 create SDs (rlx_sd_per_bin per deficient level/bin) whose multiplicity fills
-the deficit over the relaxation timescale.  Runs every supstp_rlx steps,
-host-side like the sources.
+the deficit over the relaxation timescale.  Runs every supstp_rlx steps.
+
+The population statistics come from the backend engine
+(``eng.rlx_counts``): a host bincount on the serial backend, a sharded
+segment-sum + psum on the device mesh (parallel/multi.MeshSrcEngine).
+Multiplicity sums are integer-valued f64, so both backends produce
+bit-identical counts and the host-RNG candidate stream stays identical —
+the mesh keeps the serial run's exact global semantics (better than the
+reference's multi_CUDA per-GPU local means, particles_multi_gpu_ctor.ipp:41)
+without gathering the population.
 """
 
-import dataclasses
 import math
 
 import numpy as np
@@ -16,22 +23,15 @@ import numpy as np
 from ..common import constants as c
 from . import init as init_mod
 from . import source as source_mod
-from .state import State, StaticConfig
+from .state import StaticConfig
 
 RLX_CONC_TOLERANCE = 0.1  # reference src/detail/config.hpp:33
 
 
-def rlx_dry_distros(cfg: StaticConfig, oi, state: State, dt, rng):
-    """Returns (state, n_created)."""
+def rlx_dry_distros(cfg: StaticConfig, oi, eng, dt, rng):
+    """Returns n_created; new SDs are injected through ``eng``."""
     nz = max(1, cfg.nz)
-    rhod_host = np.asarray(state.rhod)
-    rhod_prof = rhod_host[:nz]  # vertical varies fastest (x-outer layout)
-    n_host = np.asarray(state.n)
-    rd3_host = np.asarray(state.rd3)
-    kpa_host = np.asarray(state.kpa)
-    ijk_host = np.asarray(state.ijk)
-    k_host = ijk_host % nz
-    alive = n_host > 0
+    rhod_prof = eng.cell("rhod")[:nz]  # vertical fastest (x-outer layout)
 
     # total ln-radius range over all relaxation distros
     analyses = {}
@@ -55,17 +55,15 @@ def rlx_dry_distros(cfg: StaticConfig, oi, state: State, dt, rng):
         # horizontal volume of each level inside the domain
         hor_vol = (cfg.x1 - cfg.x0) * (cfg.y1 - cfg.y0) * cfg.dz
 
-        in_kappa = alive & (kpa_host >= kappa_rng[0]) \
-            & (kpa_host < kappa_rng[1])
+        # bin-resolved per-level multiplicity sums, (n_bins, nz), from the
+        # backend (exact: integer-valued f64 sums are order-independent)
+        rd3_edges = np.exp(
+            3.0 * (log_lo + bin_size * np.arange(n_bins + 1)))
+        counts = eng.rlx_counts(kappa_rng, rd3_edges)
 
         for b in range(n_bins):
             lnrd_lo = log_lo + b * bin_size
-            lnrd_hi = lnrd_lo + bin_size
-            rd3_lo, rd3_hi = math.exp(3 * lnrd_lo), math.exp(3 * lnrd_hi)
-            sel = in_kappa & (rd3_host >= rd3_lo) & (rd3_host < rd3_hi)
-            actual = np.bincount(
-                k_host[sel], weights=n_host[sel], minlength=nz
-            )[:nz]
+            actual = counts[b]
 
             expected = float(fun(lnrd_lo + 0.5 * bin_size)) * bin_size \
                 * hor_vol * np.ones(nz)
@@ -96,9 +94,7 @@ def rlx_dry_distros(cfg: StaticConfig, oi, state: State, dt, rng):
             rd3 = np.exp(3.0 * lnrd)
             x = (i + rng.random(ks.size)) * cfg.dx
             z = (ks + rng.random(ks.size)) * cfg.dz
-            rw2 = source_mod._equilibrium_rw2(
-                state, cells, rd3, kappa, 0.95
-            )
+            rw2 = source_mod._equilibrium_rw2(eng, cells, rd3, kappa, 0.95)
             new = dict(
                 n=mult, rd3=rd3, rw2=rw2,
                 kpa=np.full(ks.size, kappa),
@@ -106,6 +102,5 @@ def rlx_dry_distros(cfg: StaticConfig, oi, state: State, dt, rng):
                 vt=np.zeros(ks.size),
                 ijk=cells.astype(np.int32),
             )
-            state, added = source_mod._inject(state, new, rng, cfg)
-            total_created += added
-    return state, total_created
+            total_created += eng.inject(new)
+    return total_created

@@ -41,8 +41,18 @@ def _box_cells(cfg: StaticConfig, oi):
     return np.asarray(cells, dtype=np.int64)
 
 
+def _fresh_attr_names(cfg: StaticConfig):
+    """Per-SD attributes that must be RESET on slot revival (a dead slot
+    keeps its last occupant's values) — everything that migrates, so new
+    SDs start clean like the reference's appended vectors."""
+    from ..parallel.decomp import migrating_attrs
+    return migrating_attrs(cfg) + ("ijk",)
+
+
 def _inject(state: State, new, rng, cfg: StaticConfig):
-    """Place new SDs (dict of host arrays) into dead slots."""
+    """Place new SDs (dict of host arrays) into dead slots; attributes not
+    supplied are zeroed (fresh SDs, like the reference's appended+initialised
+    vectors rather than revived garbage)."""
     n_new = new["n"].size
     if n_new == 0:
         return state, 0
@@ -53,14 +63,85 @@ def _inject(state: State, new, rng, cfg: StaticConfig):
             f"lgrngn source: {n_new} new SDs but only {dead.size} free slots "
             f"(n_sd_max too small)"
         )
-    slots = dead[:n_new]
+    slots = jnp.asarray(dead[:n_new])
     updates = {}
-    for name, vals in new.items():
+    for name in _fresh_attr_names(cfg):
         arr = getattr(state, name)
-        updates[name] = arr.at[jnp.asarray(slots)].set(
-            jnp.asarray(vals, arr.dtype)
-        )
+        if arr.size == 0:
+            continue
+        vals = new.get(name)
+        if vals is None:
+            vals = np.zeros(n_new)
+        updates[name] = arr.at[slots].set(jnp.asarray(vals, arr.dtype))
+    if cfg.chem_switch and state.chem.size:
+        updates["chem"] = state.chem.at[:, slots].set(0.0)
     return dataclasses.replace(state, **updates), n_new
+
+
+class StateEngine:
+    """Serial backend adapter for source/relaxation: direct host access to
+    the State.  The mesh front-end provides a sharded twin
+    (parallel/multi.MeshSrcEngine) with the same interface, so the candidate
+    generation code (and its RNG stream) is shared bit-for-bit."""
+
+    def __init__(self, cfg: StaticConfig, state: State):
+        self.cfg = cfg
+        self.state = state
+
+    def cell(self, name):
+        """Global per-cell field as a host array."""
+        return np.asarray(getattr(self.state, name))
+
+    def _augment_fresh(self, cfg, new):
+        """Exact-substepping mode: new SDs carry their cell's current
+        ambient state as their private copy (reference
+        particles_impl_post_adding_SD.ipp:42 -> init_perparticle_sstp)."""
+        if cfg.exact_sstp_cond:
+            cells = np.asarray(new["ijk"], np.int64)
+            for tname, cname in (("sstp_tmp_th", "th"),
+                                 ("sstp_tmp_rv", "rv"),
+                                 ("sstp_tmp_rh", "rhod"),
+                                 ("sstp_tmp_p", "p")):
+                new[tname] = self.cell(cname)[cells]
+        return new
+
+    def inject(self, new) -> int:
+        """Place new SDs (host arrays, global coordinates) into dead slots."""
+        new = self._augment_fresh(self.cfg, new)
+        self.state, added = _inject(self.state, new, None, self.cfg)
+        return added
+
+    def rlx_counts(self, kappa_rng, rd3_edges):
+        """Bin-resolved per-level CCN multiplicity sums: (n_bins, nz).
+        Multiplicities are integer-valued f64, so the sum is exact and
+        backend-independent."""
+        cfg = self.cfg
+        nz = max(1, cfg.nz)
+        st = self.state
+        n = np.asarray(st.n)
+        rd3 = np.asarray(st.rd3)
+        kpa = np.asarray(st.kpa)
+        k = np.asarray(st.ijk) % nz
+        nb = len(rd3_edges) - 1
+        alive = n > 0
+        in_k = alive & (kpa >= kappa_rng[0]) & (kpa < kappa_rng[1])
+        b = np.searchsorted(rd3_edges, rd3, side="right") - 1
+        ok = in_k & (b >= 0) & (b < nb)
+        return np.bincount(
+            b[ok] * nz + k[ok], weights=n[ok], minlength=nb * nz
+        ).reshape(nb, nz)
+
+    def percell_population(self):
+        """(n, rd3, kpa, ijk_global) host views for the matching source."""
+        st = self.state
+        return (np.asarray(st.n), np.asarray(st.rd3),
+                np.asarray(st.kpa), np.asarray(st.ijk).astype(np.int64))
+
+    def add_multiplicity(self, updates):
+        """n += updates, indexed like percell_population's arrays."""
+        self.state = dataclasses.replace(
+            self.state,
+            n=self.state.n + jnp.asarray(updates, self.state.n.dtype))
 
 
 def _positions_in_cells(cfg: StaticConfig, cells, rng):
@@ -73,12 +154,12 @@ def _positions_in_cells(cfg: StaticConfig, cells, rng):
     return x, z
 
 
-def _equilibrium_rw2(state: State, cells, rd3, kappa, RH_max):
+def _equilibrium_rw2(eng, cells, rd3, kappa, RH_max):
     """Wet equilibrium at the target cell's current conditions
     (reference src uses init_wet on the appended SDs)."""
     from ..common import kappa_koehler
-    RH = np.minimum(np.asarray(state.RH)[cells], RH_max)
-    T = np.asarray(state.T)[cells]
+    RH = np.minimum(eng.cell("RH")[cells], RH_max)
+    T = eng.cell("T")[cells]
     rw3 = kappa_koehler.rw3_eq(
         jnp.asarray(rd3), jnp.full(rd3.shape, kappa),
         jnp.asarray(RH), jnp.asarray(T),
@@ -86,12 +167,14 @@ def _equilibrium_rw2(state: State, cells, rd3, kappa, RH_max):
     return np.asarray(rw3) ** (2.0 / 3)
 
 
-def src_simple_distros(cfg: StaticConfig, oi, state: State,
-                       src_dry_distros, dt, rng, RH_max):
+def src_simple_distros(cfg: StaticConfig, oi, eng, src_dry_distros, dt, rng,
+                       RH_max):
     """'simple' source: fresh SDs sampled from the per-time distribution
-    (reference src_dry_distros_simple.ipp:20-90)."""
+    (reference src_dry_distros_simple.ipp:20-90).  ``eng`` is the backend
+    adapter (StateEngine here, MeshSrcEngine on the device mesh); all
+    candidate generation and RNG consumption is backend-independent."""
     cells = _box_cells(cfg, oi)
-    rhod_host = np.asarray(state.rhod)
+    rhod_host = eng.cell("rhod")
     total = 0
     for key, (fun, src_sd_conc, supstp) in src_dry_distros.items():
         kappa = key[0] if isinstance(key, tuple) else key
@@ -117,7 +200,7 @@ def src_simple_distros(cfg: StaticConfig, oi, state: State,
         mult_f = multiplicity.ravel()[keep]
         x, z = _positions_in_cells(cfg, cell_rep, rng)
         rd3 = np.exp(3.0 * lnrd_f)
-        rw2 = _equilibrium_rw2(state, cell_rep, rd3, kappa, RH_max)
+        rw2 = _equilibrium_rw2(eng, cell_rep, rd3, kappa, RH_max)
         new = dict(
             n=mult_f, rd3=rd3, rw2=rw2,
             kpa=np.full(mult_f.size, kappa),
@@ -125,23 +208,19 @@ def src_simple_distros(cfg: StaticConfig, oi, state: State,
             vt=np.zeros(mult_f.size),
             ijk=cell_rep.astype(np.int32),
         )
-        state, added = _inject(state, new, rng, cfg)
-        total += added
-    return state, total
+        total += eng.inject(new)
+    return total
 
 
-def src_matching_distros(cfg: StaticConfig, oi, state: State,
-                         src_dry_distros, dt, rng, RH_max):
+def src_matching_distros(cfg: StaticConfig, oi, eng, src_dry_distros, dt,
+                         rng, RH_max):
     """'matching' source: boost multiplicities of existing SDs whose dry
     radius matches a source bin; create SDs only for unmatched bins
     (reference src_dry_distros_matching.ipp, simplified to
     closest-in-bin matching)."""
     cells = _box_cells(cfg, oi)
-    rhod_host = np.asarray(state.rhod)
-    n_host = np.array(np.asarray(state.n))
-    rd3_host = np.asarray(state.rd3)
-    kpa_host = np.asarray(state.kpa)
-    ijk_host = np.asarray(state.ijk)
+    rhod_host = eng.cell("rhod")
+    n_host, rd3_host, kpa_host, ijk_host = eng.percell_population()
     total_created = 0
     mult_updates = np.zeros_like(n_host)
 
@@ -190,7 +269,7 @@ def src_matching_distros(cfg: StaticConfig, oi, state: State,
             cell_rep = np.asarray(new_lists["cell"], dtype=np.int64)
             rd3 = np.asarray(new_lists["rd3"])
             x, z = _positions_in_cells(cfg, cell_rep, rng)
-            rw2 = _equilibrium_rw2(state, cell_rep, rd3, kappa, RH_max)
+            rw2 = _equilibrium_rw2(eng, cell_rep, rd3, kappa, RH_max)
             new = dict(
                 n=np.asarray(new_lists["n"]), rd3=rd3, rw2=rw2,
                 kpa=np.asarray(new_lists["kpa"]),
@@ -198,22 +277,18 @@ def src_matching_distros(cfg: StaticConfig, oi, state: State,
                 vt=np.zeros(rd3.size),
                 ijk=cell_rep.astype(np.int32),
             )
-            state, added = _inject(state, new, rng, cfg)
-            total_created += added
+            total_created += eng.inject(new)
 
     if mult_updates.any():
-        state = dataclasses.replace(
-            state, n=state.n + jnp.asarray(mult_updates, state.n.dtype)
-        )
-    return state, total_created
+        eng.add_multiplicity(mult_updates)
+    return total_created
 
 
-def src_dry_sizes(cfg: StaticConfig, oi, state: State, src_sizes, dt, rng,
-                  RH_max):
+def src_dry_sizes(cfg: StaticConfig, oi, eng, src_sizes, dt, rng, RH_max):
     """Size-pair source: {(kappa, rd_insol): {radius: (conc_per_s, sd_count,
     supstp)}} (reference src_dry_sizes.ipp)."""
     cells = _box_cells(cfg, oi)
-    rhod_host = np.asarray(state.rhod)
+    rhod_host = eng.cell("rhod")
     total = 0
     for key, sizes in src_sizes.items():
         kappa = key[0] if isinstance(key, tuple) else key
@@ -233,7 +308,7 @@ def src_dry_sizes(cfg: StaticConfig, oi, state: State, src_sizes, dt, rng,
                 cell_rep = np.full(sd_count, cell, dtype=np.int64)
                 rd3 = np.full(sd_count, radius**3)
                 x, z = _positions_in_cells(cfg, cell_rep, rng)
-                rw2 = _equilibrium_rw2(state, cell_rep, rd3, kappa, RH_max)
+                rw2 = _equilibrium_rw2(eng, cell_rep, rd3, kappa, RH_max)
                 new = dict(
                     n=np.full(sd_count, float(multiplicity)), rd3=rd3,
                     rw2=rw2, kpa=np.full(sd_count, kappa),
@@ -241,6 +316,5 @@ def src_dry_sizes(cfg: StaticConfig, oi, state: State, src_sizes, dt, rng,
                     vt=np.zeros(sd_count),
                     ijk=cell_rep.astype(np.int32),
                 )
-                state, added = _inject(state, new, rng, cfg)
-                total += added
-    return state, total
+                total += eng.inject(new)
+    return total

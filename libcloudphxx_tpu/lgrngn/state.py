@@ -78,6 +78,10 @@ class StaticConfig:
     # (reference opts_init.hpp sstp_cond_mix; can only be off with
     # exact_sstp_cond)
     sstp_cond_mix: bool = field(metadata=dict(static=True), default=True)
+    # collision probability can exceed one only when multiplicities are not
+    # sd_conc-balanced (reference particles_impl.ipp:384); gates the
+    # increase_sstp_coal adaptive substep growth (coal.ipp:224-227)
+    pure_const_multi: bool = field(metadata=dict(static=True), default=False)
 
     def __hash__(self):
         return hash(tuple(getattr(self, f.name) for f in fields(self)))
@@ -128,6 +132,10 @@ class StaticConfig:
             sstp_cond_adapt_drw2_max=float(
                 getattr(oi, "sstp_cond_adapt_drw2_max", 4.0)),
             sstp_cond_mix=bool(getattr(oi, "sstp_cond_mix", True)),
+            pure_const_multi=bool(
+                getattr(oi, "sd_conc", 0) == 0
+                and (getattr(oi, "sd_const_multi", 0) > 0
+                     or len(getattr(oi, "dry_sizes", {})) > 0)),
         )
 
 
@@ -225,6 +233,10 @@ OUT_ICE_MASS = PUDDLE_KEYS.index("ice_mass")
 OUT_LIQ_NUM = PUDDLE_KEYS.index("liquid_number")
 OUT_ICE_NUM = PUDDLE_KEYS.index("ice_number")
 OUT_MIGRATION_OVERFLOW = len(PUDDLE_KEYS)  # internal, multi-chip only
+# internal flag slot: a const-multi pair saw floor(prob) >= 1 this step,
+# requesting adaptive sstp_coal growth (reference coal.ipp:224-227)
+OUT_COAL_OVERFLOW = len(PUDDLE_KEYS) + 1
+N_PUDDLE = len(PUDDLE_KEYS) + 2
 
 
 def empty_state(cfg: StaticConfig, dtype=None) -> State:
@@ -261,5 +273,5 @@ def empty_state(cfg: StaticConfig, dtype=None) -> State:
         ambient_chem=jnp.zeros((6, n_cell if cfg.chem_switch else 0), dtype),
         sstp_tmp_chem=jnp.zeros((6, n_cell if cfg.chem_switch else 0), dtype),
         key=jax.random.PRNGKey(44),
-        puddle=jnp.zeros((len(PUDDLE_KEYS) + 1, ), dtype),
+        puddle=jnp.zeros((N_PUDDLE, ), dtype),
     )

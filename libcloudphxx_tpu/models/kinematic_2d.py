@@ -562,17 +562,39 @@ class Kinematic2D:
         return f
 
     def _lgrngn_runner(self, sp: bool, n: int, engine: str = "flat"):
-        """Compiled scan over n fused steps, cached per (spinup, n)."""
+        """n fused steps as a chained python loop over ONE jitted step.
+
+        Measured on the TPU (tools/profile_dense3.py): wrapping the step in
+        a lax.scan makes the dense engine ~11x SLOWER (2402 vs 219 ms/step —
+        the XLA while loop pessimises the sort/gather pipeline), while the
+        host-chained loop costs only the ~per-step dispatch.  Chaining also
+        compiles the step once instead of once per (spinup, n) scan length.
+        LIBCLOUD_SCAN=1 restores the scan for A/B."""
+        import os
         cache = getattr(self, "_lgrngn_runners", None)
         if cache is None:
             cache = self._lgrngn_runners = {}
-        key = (sp, n, engine)
+        use_scan = os.environ.get("LIBCLOUD_SCAN", "0") == "1"
+        if use_scan:
+            key = (sp, n, engine, True)
+            if key not in cache:
+                f = (self._lgrngn_step_fn_dense(sp) if engine == "dense"
+                     else self._lgrngn_step_fn(sp))
+                cache[key] = jax.jit(lambda c: jax.lax.scan(
+                    lambda carry, _: (f(carry), None), c, None, length=n)[0])
+            return cache[key]
+        key = (sp, engine)
         if key not in cache:
             f = (self._lgrngn_step_fn_dense(sp) if engine == "dense"
                  else self._lgrngn_step_fn(sp))
-            cache[key] = jax.jit(lambda c: jax.lax.scan(
-                lambda carry, _: (f(carry), None), c, None, length=n)[0])
-        return cache[key]
+            cache[key] = jax.jit(f)
+        fj = cache[key]
+
+        def run(c):
+            for _ in range(n):
+                c = fj(c)
+            return c
+        return run
 
     def dense_capacity(self):
         """Row capacity for the dense engine: 2x the densest initial cell,
@@ -609,8 +631,10 @@ class Kinematic2D:
         if engine == "dense":
             dropped = float(state.overflow)
             if dropped:
-                import warnings
-                warnings.warn(
+                # loud failure, like the flat engine's capacity error
+                # (parallel/multi.py shard-capacity check): silent mass
+                # loss in the fast path is never acceptable
+                raise RuntimeError(
                     f"dense engine: {dropped:.0f} SDs dropped on row "
                     f"overflow (capacity {state.cap}) — raise cap")
             state = jax.jit(

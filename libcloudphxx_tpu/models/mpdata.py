@@ -141,13 +141,7 @@ def _fct_limit(psi_n, psi, gc_x, gc_z, G):
     return gc_x * lim_x, gc_z * lim_z
 
 
-@partial(jax.jit, static_argnames=("n_iters", "fct"))
-def advect(psi, gc_x, gc_z, G, n_iters=2, fct=False):
-    """MPDATA advection of a positive-definite scalar; n_iters=1 is plain
-    upwind, 2 adds one antidiffusive correction (libmpdata++ default).
-    fct=True applies the non-oscillatory limiter to the corrective
-    iterations (libmpdata++ opts::fct, the reference icicle configuration —
-    models/kinematic_2D/src/icicle.cpp:85)."""
+def _advect_body(psi, gc_x, gc_z, G, n_iters, fct):
     psi_prev = psi
     psi = _advect_once(psi, gc_x, gc_z, G)
     for _ in range(n_iters - 1):
@@ -157,3 +151,49 @@ def advect(psi, gc_x, gc_z, G, n_iters=2, fct=False):
         psi_prev = psi
         psi = _advect_once(psi, gc_x, gc_z, G)
     return psi
+
+
+def _pallas_ok(psi):
+    """The whole MPDATA step fits one Pallas program when the grid is small
+    enough to sit in VMEM (the canonical 76x76 case uses ~100 KB); the
+    f64/CPU parity path keeps plain XLA."""
+    import os
+    if os.environ.get("LIBCLOUD_PALLAS", "auto") == "0":
+        return False
+    return (psi.dtype == jnp.float32 and psi.size <= 512 * 512
+            and jax.default_backend() == "tpu")
+
+
+@partial(jax.jit, static_argnames=("n_iters", "fct"))
+def advect(psi, gc_x, gc_z, G, n_iters=2, fct=False):
+    """MPDATA advection of a positive-definite scalar; n_iters=1 is plain
+    upwind, 2 adds one antidiffusive correction (libmpdata++ default).
+    fct=True applies the non-oscillatory limiter to the corrective
+    iterations (libmpdata++ opts::fct, the reference icicle configuration —
+    models/kinematic_2D/src/icicle.cpp:85).
+
+    On TPU/f32 the whole step runs as ONE Pallas kernel (the grid fits in
+    VMEM, and at ~20 shifted elementwise ops the XLA path is bound by the
+    per-kernel dispatch floor, not arithmetic); the kernel body is the SAME
+    jnp code, so the two paths cannot drift."""
+    G = jnp.broadcast_to(jnp.asarray(G, psi.dtype), psi.shape)
+    if _pallas_ok(psi):
+        from jax.experimental import pallas as pl
+        try:
+            from jax.experimental.pallas import tpu as pltpu
+        except ImportError:  # pragma: no cover
+            return _advect_body(psi, gc_x, gc_z, G, n_iters, fct)
+
+        def kernel(psi_ref, gcx_ref, gcz_ref, G_ref, out_ref):
+            out_ref[:] = _advect_body(
+                psi_ref[:], gcx_ref[:], gcz_ref[:], G_ref[:], n_iters, fct)
+
+        spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(psi.shape, psi.dtype),
+            in_specs=[spec] * 4,
+            out_specs=spec,
+        )(psi, jnp.asarray(gc_x, psi.dtype), jnp.asarray(gc_z, psi.dtype),
+          G)
+    return _advect_body(psi, gc_x, gc_z, G, n_iters, fct)

@@ -136,6 +136,104 @@ def xchng_courants(cfg: StaticConfig, state: State, dom=None,
     return dataclasses.replace(state, courant_x=cx)
 
 
+def _xchng_courants_pc(cfg: StaticConfig, state: State, dom: ShardDomain,
+                       axis_name: str = "x"):
+    """Halo-2 courant exchange for pred_corr SD advection (reference
+    xchng_courants.ipp:207-320 with halo_size == 2,
+    particles_impl.ipp:361-371).
+
+    Returns extended arrays in a +2-shifted x layout:
+      cx_ext: x-faces  -2 .. nx_pad+2   ((nx_pad+5)*ny*nz,)
+      cy_ext: x-columns -2 .. nx_pad+1  ((nx_pad+4)*(ny+1)*nz,) or None
+      cz_ext: x-columns -2 .. nx_pad+1  ((nx_pad+4)*ny*(nz+1),) or None
+    Only faces/columns within [-2, nxl+2] / [-2, nxl+1] are meaningful."""
+    n_shards = jax.lax.psum(1, axis_name)
+    perm_r = [(i, (i + 1) % n_shards) for i in range(n_shards)]
+    perm_l = [(i, (i - 1) % n_shards) for i in range(n_shards)]
+    ny, nz = max(1, cfg.ny), max(1, cfg.nz)
+    nxl = dom.nxl[0]
+
+    def extend(arr, stride, n_send_r):
+        """arr has (nx_pad + extra) x-planes of size ``stride``; build the
+        ext array with 2 left-halo planes and n_send_r right-halo planes."""
+        nplanes = arr.shape[0] // stride
+        # to RIGHT neighbour: my last two owned planes (nxl-2, nxl-1)
+        send_r = jax.lax.dynamic_slice_in_dim(
+            arr, (nxl - 2) * stride, 2 * stride)
+        # to LEFT neighbour: my first n_send_r planes
+        send_l = jax.lax.dynamic_slice_in_dim(arr, 0, n_send_r * stride)
+        from_l = jax.lax.ppermute(send_r, axis_name, perm_r)
+        from_r = jax.lax.ppermute(send_l, axis_name, perm_l)
+        ext = jnp.zeros(((nplanes + 2 + n_send_r) * stride,), arr.dtype)
+        ext = jax.lax.dynamic_update_slice_in_dim(ext, from_l, 0, axis=0)
+        ext = jax.lax.dynamic_update_slice_in_dim(
+            ext, arr, 2 * stride, axis=0)
+        ext = jax.lax.dynamic_update_slice_in_dim(
+            ext, from_r, (2 + nxl) * stride, axis=0)
+        return ext
+
+    cx_ext = extend(state.courant_x, ny * nz, 3)
+    cy_ext = (extend(state.courant_y, (ny + 1) * nz, 2)
+              if cfg.n_dims == 3 else None)
+    cz_ext = (extend(state.courant_z, ny * (nz + 1), 2)
+              if cfg.n_dims > 1 else None)
+    return cx_ext, cy_ext, cz_ext
+
+
+def adve_pred_corr_sharded(cfg: StaticConfig, state: State, dom: ShardDomain,
+                           axis_name: str = "x") -> State:
+    """Predictor-corrector SD advection on the device mesh (reference
+    adve.ipp:168-304 run with halo_size == 2): explicit-Euler predictor with
+    the in-slab courants, then the corrector displacement gathered at the
+    midpoint from halo-extended courants — midpoints up to two cells outside
+    the slab read the neighbours' values, exactly the reference's halo
+    coordinate system.  Out-of-slab FINAL positions are handled by the ring
+    migration that follows in the async step."""
+    from ..lgrngn.transport import _advance_positions, _axis_euler, _wrap
+    ny, nz = max(1, cfg.ny), max(1, cfg.nz)
+    cx_ext, cy_ext, cz_ext = _xchng_courants_pc(cfg, state, dom, axis_name)
+
+    x_old, y_old, z_old = state.x, state.y, state.z
+    # ---- predictor (in-slab gathers; SDs sit in live cells) ----
+    x, y, z = _advance_positions(cfg, state, state.ijk, _axis_euler)
+    if cfg.n_dims > 1:
+        z = jnp.clip(z, cfg.z0 + 1e-8 * cfg.dz, cfg.z1 - 1e-8 * cfg.dz)
+    if cfg.n_dims == 3:
+        y_wr = _wrap(y, cfg.y0, cfg.y1)
+        y_old = y_old + (y_wr - y)
+        y = y_wr
+
+    # ---- corrector at the midpoint, halo-extended gathers ----
+    # x may sit up to 2 cells outside the slab; indices shift by +2 into the
+    # ext layout and clamp to the exchanged extent
+    i = jnp.clip(jnp.floor(x / cfg.dx).astype(jnp.int32), -2,
+                 dom.nxl[0] + 1)
+    j = (jnp.clip(jnp.floor(y / cfg.dy).astype(jnp.int32), 0, ny - 1)
+         if cfg.n_dims == 3 else jnp.zeros_like(i))
+    k = (jnp.clip(jnp.floor(z / cfg.dz).astype(jnp.int32), 0, nz - 1)
+         if cfg.n_dims > 1 else jnp.zeros_like(i))
+
+    lft = ((i + 2) * ny + j) * nz + k
+    dx_ = _axis_euler(x, cfg.dx, i, cx_ext[lft], cx_ext[lft + ny * nz],
+                      apply=False)
+    x = (x + x_old + dx_) / 2.0
+    if cfg.n_dims == 3:
+        fre = ((i + 2) * (ny + 1) + j) * nz + k
+        dy_ = _axis_euler(y, cfg.dy, j, cy_ext[fre], cy_ext[fre + nz],
+                          apply=False)
+        y = (y + y_old + dy_) / 2.0
+    else:
+        y = state.y
+    if cfg.n_dims > 1:
+        blw = ((i + 2) * ny + j) * (nz + 1) + k
+        dz_ = _axis_euler(z, cfg.dz, k, cz_ext[blw], cz_ext[blw + 1],
+                          apply=False)
+        z = (z + z_old + dz_) / 2.0
+    else:
+        z = state.z
+    return dataclasses.replace(state, x=x, y=y, z=z)
+
+
 def migrate(cfg: StaticConfig, state: State, dom: ShardDomain, buf: int,
             axis_name: str = "x") -> State:
     """Exchange out-of-slab SDs with the two x neighbours
@@ -288,9 +386,10 @@ def sharded_sync_step(cfg: StaticConfig, axis_name: str = "x"):
 
     def step(state: State, dt, RH_max, dom=None, turb_cond=False):
         state = xchng_courants(cfg, state, dom, axis_name)
+        lam = condensation.stale_mfp(state)
         state = hskpng.hskpng_Tpr(cfg, state)
         state = condensation.cond_percell(cfg, state, dt, RH_max,
-                                          turb_cond=turb_cond)
+                                          turb_cond=turb_cond, lam=lam)
         state = condensation.sstp_save(state, exact=cfg.exact_sstp_cond)
         if cfg.chem_switch:
             from ..lgrngn import chemistry
@@ -329,7 +428,11 @@ def sharded_async_step(cfg: StaticConfig, sstp_coal: int, buf: int,
             if do_turb_cond:
                 state = turbulence.hskpng_turb_dot_ss(cfg, state)
         if do_adve:
-            state = transport.adve(cfg, state)
+            from ..lgrngn.enums import as_t
+            if as_t(cfg.adve_scheme) == as_t.pred_corr:
+                state = adve_pred_corr_sharded(cfg, state, dom, axis_name)
+            else:
+                state = transport.adve(cfg, state)
         if do_turb_adve:
             state = turbulence.turb_adve(cfg, state, dt)
         if do_sedi:

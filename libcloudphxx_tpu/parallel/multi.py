@@ -24,8 +24,10 @@ multi_CUDA, which degrades relaxation to per-GPU local means with a warning,
 particles_multi_gpu_ctor.ipp:41).  Aqueous chemistry is fully sharded: chem
 attrs split on axis 1, trace gases per slab, dissolved masses ride the
 migration payload (the reference's MPI backend forbids chemistry,
-init_sanity_check.ipp:131 — the mesh does not need to).  Not supported
-sharded (loud error): the pred_corr SD advection scheme (courant halo of 2).
+init_sanity_check.ipp:131 — the mesh does not need to).  pred_corr SD
+advection runs sharded through the halo-2 courant exchange
+(decomp._xchng_courants_pc, mirroring xchng_courants.ipp:207-320 with
+halo_size == 2); it requires every slab to be at least 2 cells wide.
 """
 
 import dataclasses
@@ -56,10 +58,14 @@ class particles_multi_t(particles_t):
         if opts_init.nx < n_dev:
             raise ValueError("particles_multi_t: nx smaller than the mesh")
         if self.cfg.adve_scheme == as_t.pred_corr.value:
-            raise RuntimeError(
-                "libcloudphxx: pred_corr SD advection (courant halo of 2) "
-                "is not supported on a device mesh; use implicit or euler"
-            )
+            # halo-2 exchange needs two live faces per slab
+            # (decomp._xchng_courants_pc; reference particles_impl.ipp:
+            # 361-371 sizes its halos the same way)
+            if min(decomp.slab_widths(self.cfg.nx, n_dev)) < 2:
+                raise RuntimeError(
+                    "libcloudphxx: pred_corr on a device mesh needs every "
+                    "x slab at least 2 cells wide"
+                )
         # aqueous chemistry is supported on the mesh (the reference's
         # multi_CUDA supports it too; only the MPI backend forbids it,
         # init_sanity_check.ipp:131) — chem attrs shard on axis 1 and ride
@@ -314,9 +320,9 @@ class particles_multi_t(particles_t):
         return self._shard_jits[key]
 
     def _step_cond_impl(self, state, dt, RH_max, turb_cond, ice_nucl,
-                        do_cond):
+                        do_cond, var_rho=False):
         from ..lgrngn.particles import step_cond_body
-        cfg_l = self.cfg_l
+        cfg_l = self._cfg_for_dt(self.cfg_l, dt)
 
         def fn(st, dom_, dt_, rhmax):
             # courant-halo refresh (sync_in's xchng_courants), then the
@@ -324,9 +330,10 @@ class particles_multi_t(particles_t):
             # added to step_cond_body automatically reach the mesh
             st = decomp.xchng_courants(cfg_l, st, dom_)
             return step_cond_body(cfg_l, st, dt_, rhmax, turb_cond,
-                                  ice_nucl, do_cond)
+                                  ice_nucl, do_cond, var_rho)
 
-        key = ("cond", turb_cond, ice_nucl, do_cond)
+        key = ("cond", turb_cond, ice_nucl, do_cond, var_rho,
+               cfg_l.sstp_cond, cfg_l.sstp_cond_act)
         if key not in self._shard_jits:
             spec = decomp.state_specs()
             dom_spec = decomp.ShardDomain(lo=P("x"), hi=P("x"), nxl=P("x"))
@@ -338,14 +345,14 @@ class particles_multi_t(particles_t):
 
     def _step_chem_impl(self, state, dt, do_dsl, do_dsc, do_rct):
         from ..lgrngn import chemistry
-        cfg_l = self.cfg_l
+        cfg_l = self._cfg_for_dt(self.cfg_l, dt)
 
         def fn(st, dt_):
             st = hskpng.hskpng_Tpr(cfg_l, st)
             return chemistry.sstp_chem_loop(cfg_l, st, dt_, do_dsl, do_dsc,
                                             do_rct)
 
-        key = ("chem", do_dsl, do_dsc, do_rct)
+        key = ("chem", do_dsl, do_dsc, do_rct, cfg_l.sstp_chem)
         if key not in self._shard_jits:
             spec = decomp.state_specs()
             self._shard_jits[key] = jax.jit(jax.shard_map(
@@ -512,56 +519,123 @@ class particles_multi_t(particles_t):
                 dataclasses.replace(self.state, **updates), self._sharding)
         self._should_now_run_cond = True
 
-    def step_async(self, opts):
-        do_src = bool(opts.src and (opts.src_dry_distros
-                                    or opts.src_dry_sizes))
-        do_rlx = bool(opts.rlx and self.opts_init.rlx_switch
-                      and self.opts_init.rlx_dry_distros)
-        if do_src or do_rlx:
-            # The reference multi_CUDA runs relaxation per-GPU on local
-            # means with a warning (particles_multi_gpu_ctor.ipp:41) and
-            # windows the source per domain (particles_step.ipp:452).  A
-            # single-process mesh can do better: gather the population to
-            # global coordinates, run the EXACT serial source/relaxation
-            # (host-RNG phases, every supstp steps), re-scatter.
-            dt = float(opts.dt) if opts.dt > 0 else self.cfg.dt
-            old_puddle_len = np.asarray(self.state.puddle).size \
-                // self.n_shards
-            g = self._gather_state()
-            saved_cfg, saved_state = self.cfg, self.state
-            self.cfg, self.state = self.cfg_global, g
-            try:
-                if do_src:
-                    self._src_ctr += 1
-                    self._apply_sources(opts, dt)
-                if do_rlx:
-                    self._rlx_ctr += 1
-                    if self._rlx_ctr % int(self.opts_init.supstp_rlx) == 0:
-                        from ..lgrngn import relax as relax_mod
-                        from ..lgrngn.particles import _tpr_jit
-                        st = _tpr_jit(self.cfg_global, self.state)
-                        st, _ = relax_mod.rlx_dry_distros(
-                            self.cfg_global, self.opts_init, st, dt,
-                            self._src_rng)
-                        self.state = st
-                g2 = self.state
-            except Exception:
-                self.cfg, self.state = saved_cfg, saved_state
-                raise
-            self.cfg = saved_cfg
-            sharded = self._shard_state(g2)
-            # _shard_state zeroes the puddle; park the gathered totals in
-            # shard 0's accumulator (diag_puddle sums across shards)
-            pud = np.zeros((self.n_shards, old_puddle_len))
-            pud[0] = np.asarray(g2.puddle)
-            sharded = dataclasses.replace(
-                sharded, puddle=jnp.asarray(pud.reshape(-1)))
-            self.state = self._put_state(sharded)
-            import copy as _copy
-            opts = _copy.copy(opts)
-            opts.src = False
-            opts.rlx = False
-        super().step_async(opts)
+    # ------------------------------------------ sharded source/relaxation
+    # The reference multi_CUDA runs relaxation per-GPU on LOCAL means with a
+    # warning (particles_multi_gpu_ctor.ipp:41) and windows the source per
+    # domain (particles_step.ipp:452).  The mesh keeps the serial run's
+    # exact GLOBAL semantics without gathering the population: cell fields
+    # are stitched (small), population statistics are sharded device
+    # reductions (integer-valued f64 sums — bit-identical to the host
+    # bincount), and the host-RNG candidate stream is byte-identical to the
+    # serial backend's, so serial and mesh create the same SDs.
+    def _src_engine(self):
+        self.state = self._tpr_impl()
+        return MeshSrcEngine(self)
+
+    def _rlx_counts_sharded(self, kappa_rng, rd3_edges):
+        cfg_l = self.cfg_l
+        nz = max(1, cfg_l.nz)
+        nb = len(rd3_edges) - 1
+        klo, khi = float(kappa_rng[0]), float(kappa_rng[1])
+        key = ("rlx_counts", nb, klo, khi)
+        if key not in self._shard_jits:
+            spec = decomp.state_specs()
+
+            def fn(st, edges):
+                k = st.ijk % nz
+                alive = st.n > 0
+                in_k = alive & (st.kpa >= klo) & (st.kpa < khi)
+                b = jnp.searchsorted(edges, st.rd3, side="right") - 1
+                ok = in_k & (b >= 0) & (b < nb)
+                idx = jnp.where(ok, b * nz + k, nb * nz)
+                cnt = jax.ops.segment_sum(
+                    jnp.where(ok, st.n, 0.0), idx,
+                    num_segments=nb * nz + 1)[: nb * nz]
+                return jax.lax.psum(cnt, "x")
+
+            self._shard_jits[key] = jax.jit(jax.shard_map(
+                fn, mesh=self.mesh, in_specs=(spec, P()), out_specs=P()))
+        out = self._shard_jits[key](self.state, jnp.asarray(rd3_edges))
+        return np.asarray(out).reshape(nb, nz)
+
+    def _alive_counts(self):
+        """Per-shard live-SD counts (S,) — cheap device reduction."""
+        if "alive_counts" not in self._shard_jits:
+            spec = decomp.state_specs()
+            self._shard_jits["alive_counts"] = jax.jit(jax.shard_map(
+                lambda st: jnp.sum(st.n > 0)[None],
+                mesh=self.mesh, in_specs=(spec,), out_specs=P("x")))
+        return np.asarray(self._shard_jits["alive_counts"](self.state))
+
+    def _inject_sharded(self, new):
+        """Scatter host candidate SDs (global coordinates) into their owner
+        shards' dead slots — the mesh twin of source._inject."""
+        from ..lgrngn.source import _fresh_attr_names
+        n_new = int(np.asarray(new["n"]).size)
+        if n_new == 0:
+            return 0
+        cfg = self.cfg
+        nyz = max(1, cfg.ny) * max(1, cfg.nz)
+        S = self.n_shards
+        cells = np.asarray(new["ijk"], np.int64)
+        shard = np.searchsorted(np.cumsum(self.widths), cells // nyz,
+                                side="right")
+        counts = np.bincount(shard, minlength=S)
+        dead = self._cap - self._alive_counts()
+        if (counts > dead).any():
+            s = int(np.argmax(counts - dead))
+            raise RuntimeError(
+                f"lgrngn source: shard {s} needs {counts[s]} free slots "
+                f"but has {dead[s]} (n_sd_max too small)")
+        buf = int(max(1, counts.max()))
+        attrs = tuple(a for a in _fresh_attr_names(self.cfg_l)
+                      if getattr(self.state, a).size)
+        payload = {a: np.zeros((S, buf)) for a in attrs}
+        valid = np.zeros((S, buf), bool)
+        fill = np.zeros(S, np.int64)
+        for idx in np.argsort(shard, kind="stable"):
+            s = shard[idx]
+            l = fill[s]
+            fill[s] += 1
+            valid[s, l] = True
+            for a in attrs:
+                if a in new:
+                    v = new[a][idx]
+                    if a == "x":
+                        v = v - self.offs[s] * cfg.dx
+                    elif a == "ijk":
+                        v = v - self.offs[s] * nyz
+                    payload[a][s, l] = v
+
+        jkey = ("inject", buf, attrs)
+        if jkey not in self._shard_jits:
+            spec = decomp.state_specs()
+            n_sd_l = self.cfg_l.n_sd_max
+            chem_on = self.cfg_l.chem_switch and self.state.chem.size
+
+            def fn(st, valid_, *vals):
+                dead_order = jnp.argsort(st.n > 0)  # dead slots first
+                tgt = jnp.where(valid_, dead_order[:buf], n_sd_l)
+                upd = {}
+                for a, v in zip(attrs, vals):
+                    arr = getattr(st, a)
+                    upd[a] = arr.at[tgt].set(v.astype(arr.dtype),
+                                             mode="drop")
+                if chem_on:
+                    upd["chem"] = st.chem.at[:, tgt].set(0.0, mode="drop")
+                return dataclasses.replace(st, **upd)
+
+            self._shard_jits[jkey] = jax.jit(jax.shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(spec,) + (P("x"),) * (1 + len(attrs)),
+                out_specs=spec))
+        sh = NamedSharding(self.mesh, P("x"))
+        dev_valid = jax.device_put(jnp.asarray(valid.reshape(-1)), sh)
+        dev_vals = [jax.device_put(jnp.asarray(payload[a].reshape(-1)), sh)
+                    for a in attrs]
+        self.state = self._shard_jits[jkey](self.state, dev_valid,
+                                            *dev_vals)
+        return n_new
 
     def _put_state(self, state):
         return jax.device_put(state, self._sharding)
@@ -581,8 +655,9 @@ class particles_multi_t(particles_t):
     def migration_overflow(self):
         """Total migration-buffer overflow count across shards (a loud
         health check; the reference hard-asserts its buffer capacity)."""
+        from ..lgrngn.state import OUT_MIGRATION_OVERFLOW
         vals = np.asarray(self.state.puddle).reshape(self.n_shards, -1)
-        return float(vals[:, -1].sum())
+        return float(vals[:, OUT_MIGRATION_OVERFLOW].sum())
 
     def get_attr(self, name):
         self._require_init()
@@ -593,3 +668,54 @@ class particles_multi_t(particles_t):
             n = np.asarray(self.state.n).reshape(self.n_shards, self._cap)
             v = np.where(n > 0, v, 0.0).reshape(-1)
         return v
+
+
+class MeshSrcEngine:
+    """Sharded backend adapter for source/relaxation (see
+    lgrngn.source.StateEngine for the contract): per-cell fields are
+    stitched host arrays (n_cell-sized, cheap), population statistics are
+    device psum reductions, and injection scatters candidates into their
+    owner shards — the step path never gathers the O(n_sd_max) population
+    (the reference keeps src/rlx distributed too,
+    rlx_dry_distros.ipp:314)."""
+
+    def __init__(self, prt):
+        self.prt = prt
+        self._cells = {}
+
+    @property
+    def state(self):
+        return self.prt.state
+
+    def cell(self, name):
+        if name not in self._cells:
+            self._cells[name] = self.prt._unpad_cell(
+                np.asarray(getattr(self.prt.state, name)))
+        return self._cells[name]
+
+    def inject(self, new):
+        from ..lgrngn.source import StateEngine
+        new = StateEngine._augment_fresh(self, self.prt.cfg, new)
+        return self.prt._inject_sharded(new)
+
+    def rlx_counts(self, kappa_rng, rd3_edges):
+        return self.prt._rlx_counts_sharded(kappa_rng, rd3_edges)
+
+    def percell_population(self):
+        """(n, rd3, kpa, ijk_global) in the flattened sharded layout (the
+        matching source needs per-SD views; 4 arrays, not the full state)."""
+        prt = self.prt
+        nyz = max(1, prt.cfg.ny) * max(1, prt.cfg.nz)
+        ijk = np.asarray(prt.state.ijk).reshape(prt.n_shards, prt._cap) \
+            + (prt.offs * nyz)[:, None]
+        return (np.asarray(prt.state.n), np.asarray(prt.state.rd3),
+                np.asarray(prt.state.kpa),
+                ijk.reshape(-1).astype(np.int64))
+
+    def add_multiplicity(self, updates):
+        prt = self.prt
+        sh = NamedSharding(prt.mesh, P("x"))
+        prt.state = dataclasses.replace(
+            prt.state,
+            n=prt.state.n + jax.device_put(
+                jnp.asarray(updates, np.asarray(prt.state.n).dtype), sh))

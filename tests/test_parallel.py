@@ -174,7 +174,7 @@ def test_migration_overflow_is_loud():
 # public-API equivalence: device mesh vs serial backend
 # --------------------------------------------------------------------------
 
-def _build_api(dev_count, nx=14, nz=6):
+def _build_api(dev_count, nx=14, nz=6, adve_scheme=None):
     def lognormal(lnr):
         return (60e6 * np.exp(-(lnr - np.log(0.02e-6)) ** 2
                               / 2 / np.log(1.4) ** 2)
@@ -189,6 +189,8 @@ def _build_api(dev_count, nx=14, nz=6):
     oi.dry_distros = {(0.61, 0.0): lognormal}
     oi.terminal_velocity = lgrngn.vt_t.beard77fast
     oi.kernel = lgrngn.kernel_t.geometric
+    if adve_scheme is not None:
+        oi.adve_scheme = adve_scheme
     oi.dev_count = dev_count
     backend = (lgrngn.backend_t.multi_CUDA if dev_count > 1
                else lgrngn.backend_t.serial)
@@ -257,6 +259,40 @@ def test_multichip_equals_serial_full_process(nsteps):
         p.diag_wet_mom(3)
     np.testing.assert_allclose(prt_m.outbuf(), prt_s.outbuf(),
                                rtol=1e-8, atol=1e-40)
+    assert prt_m.migration_overflow() == 0
+
+
+def test_multichip_pred_corr_equals_serial():
+    """pred_corr SD advection on the mesh: the halo-2 courant exchange
+    (decomp._xchng_courants_pc, reference xchng_courants.ipp:207-320 with
+    halo_size == 2) must reproduce the serial pred_corr trajectories —
+    midpoint courants of SDs crossing slab edges come from the
+    neighbours."""
+    scheme = lgrngn.as_t.pred_corr
+    prt_s, th_s, rv_s = _build_api(1, adve_scheme=scheme)
+    prt_m, th_m, rv_m = _build_api(4, adve_scheme=scheme)
+    assert type(prt_m).__name__ == "particles_multi_t"
+
+    opts = lgrngn.opts_t()
+    opts.coal = False
+    for _ in range(6):
+        prt_s.step_sync(opts, th_s, rv_s)
+        prt_s.step_async(opts)
+        prt_m.step_sync(opts, th_m, rv_m)
+        prt_m.step_async(opts)
+
+    np.testing.assert_allclose(th_m, th_s, rtol=0, atol=1e-9)
+    np.testing.assert_allclose(rv_m, rv_s, rtol=0, atol=1e-12)
+
+    def popul(p):
+        n = p.get_attr("n")
+        live = n > 0
+        cols = np.stack([p.get_attr("x")[live], p.get_attr("z")[live],
+                         n[live], p.get_attr("rw2")[live]])
+        return cols[:, np.lexsort(cols)]
+    pop_s, pop_m = popul(prt_s), popul(prt_m)
+    assert pop_s.shape == pop_m.shape
+    np.testing.assert_allclose(pop_m, pop_s, rtol=1e-9, atol=1e-12)
     assert prt_m.migration_overflow() == 0
 
 

@@ -15,7 +15,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 NX = NZ = 76
 SD = 64
-N_STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+N_STEPS = int(sys.argv[1]) if len(sys.argv) > 1 else 100
 
 
 def run(engine):
