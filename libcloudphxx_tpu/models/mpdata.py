@@ -81,8 +81,10 @@ def _antidiff_gc(psi, gc_x, gc_z, G):
     )
     gc_z2 = jnp.abs(gc_z) * (1.0 - jnp.abs(gc_z) / Gz) * A_z \
         - gc_z * gcx_at_z / Gz * B_z
-    # rigid walls: no antidiffusive flux through top/bottom
-    gc_z2 = gc_z2.at[:, 0].set(0.0).at[:, -1].set(0.0)
+    # rigid walls: no antidiffusive flux through top/bottom (mask instead of
+    # .at[].set — the latter lowers to an unsupported scatter in Pallas)
+    col = jax.lax.broadcasted_iota(jnp.int32, gc_z2.shape, 1)
+    gc_z2 = jnp.where((col == 0) | (col == gc_z2.shape[1] - 1), 0.0, gc_z2)
     return gc_x2, gc_z2
 
 

@@ -66,8 +66,17 @@ def test_blk_2m_t9000(blk_2m_run):
 
 
 @pytest.mark.xfail(reason="rc sits ~2x outside the tightest gate "
-                   "(8e-6 vs 4.5e-6, ~1% of peak rc); bias under "
-                   "investigation", strict=False)
+                   "(8e-6 vs 4.5e-6, ~1% of peak rc).  Diagnosed r3: the "
+                   "blk_2m microphysics is ELEMENT-EXACT vs the reference's "
+                   "own compiled formula chain (tests/test_solver_oracle.py "
+                   "gates rhs_cellwise and rhs_columnwise at 1e-10); "
+                   "running our model at f32 (the reference icicle's "
+                   "real_t) moves rc only 8e-6 -> 9e-6; the error lives "
+                   "in-cloud (z bands 44-76, all x), not at boundaries.  "
+                   "The residual is therefore a libmpdata++-vs-models/"
+                   "mpdata.py advection-discretisation difference (their "
+                   "source is not in the image to transcribe exactly)",
+                   strict=False)
 def test_blk_2m_t9000_rc(blk_2m_run):
     r = blk_2m_run[9000]
     assert r["rc"]["max_abs"] <= 4.5e-6, r["rc"]
