@@ -33,7 +33,16 @@ from .state import State, StaticConfig
 
 # reference src/detail/config.hpp:181-205
 COND_MLT = 2.0
-ROOT_ITERS = 32
+ROOT_ITERS = 32      # f64: beyond the reference's 2^-15 toms748 tolerance
+
+
+def _root_iters(dtype):
+    """The reference's eps_tolerance is sizeof(real_t)*8/4 bits — 16 bits
+    (2^-15) at double, only 8 bits (2^-7) at float (config.hpp:181-205).
+    Anderson-Bjoerck converges superlinearly, so 16 iterations at f32
+    exceed f32 machine precision, let alone the reference's own float
+    tolerance; the f64 parity path keeps 32."""
+    return 32 if jnp.dtype(dtype).itemsize == 8 else 16
 
 
 def drw2_dt(rw2, rd3, kpa, vt, rhod, rv, T, p, RH, eta, lambda_D, lambda_K,
@@ -94,7 +103,7 @@ def _advance_rw2_core(dt, rw2_old, rd3, kpa, vt, rhod, rv, T, p, RH, eta,
         minfun,
         jnp.where(bracketed, a, rw2_safe),
         jnp.where(bracketed, b, rw2_safe),
-        iters=ROOT_ITERS,
+        iters=_root_iters(rw2_old.dtype),
     )
     # ...explicit Euler fallback otherwise (cond_common.ipp:309)
     rw2_new = jnp.where(bracketed, rw2_root, rw2_safe + drw2)

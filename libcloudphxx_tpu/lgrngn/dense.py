@@ -124,7 +124,31 @@ def _distribute(cfg: StaticConfig, cap, cell, vals):
     n_cell = cfg.n_cell
     N = cell.shape[0]
     lane = jnp.arange(cap, dtype=jnp.int32)
-    if os.environ.get("LIBCLOUD_DENSE_DISTRIBUTE", "gather") == "ride":
+    variant = os.environ.get("LIBCLOUD_DENSE_DISTRIBUTE", "scatter")
+    if variant == "scatter":
+        # ride the sort, then ONE 1-D scatter per plane: sorted position p
+        # belongs to cell c = cell_s[p] at lane l = p - off[c]; its flat
+        # target is c*cap + l (dropped when l >= cap).  Avoids the 740k
+        # random GATHERS of the other variants (~20 ms each on TPU; the
+        # multi-operand sort itself is ~3 ms).
+        sorted_ = jax.lax.sort((cell.astype(jnp.int32),) + tuple(vals),
+                               num_keys=1)
+        cell_s, vals_s = sorted_[0], sorted_[1:]
+        bounds = jnp.searchsorted(cell_s,
+                                  jnp.arange(n_cell + 1, dtype=jnp.int32))
+        cnt = bounds[1:] - bounds[:-1]
+        pos = jnp.arange(N, dtype=jnp.int32)
+        in_dom = cell_s < n_cell
+        cell_c = jnp.minimum(cell_s, n_cell - 1)
+        l = pos - bounds[:-1][cell_c]
+        tgt = jnp.where(in_dom & (l < cap), cell_c * cap + l, n_cell * cap)
+        dense_vals = tuple(
+            jnp.zeros((n_cell, cap), v.dtype).reshape(-1)
+            .at[tgt].set(v, mode="drop").reshape(n_cell, cap)
+            for v in vals_s)
+        overflow = jnp.sum(jnp.maximum(cnt - cap, 0))
+        return dense_vals, overflow
+    if variant == "ride":
         sorted_ = jax.lax.sort((cell.astype(jnp.int32),) + tuple(vals),
                                num_keys=1)
         cell_s, vals_s = sorted_[0], sorted_[1:]
@@ -281,33 +305,27 @@ def _rshift_mask(m):
         [jnp.zeros_like(m[:, :1]), m[:, :-1]], axis=1)
 
 
-def coal_substep(cfg: StaticConfig, d: DenseState, params, dt, key,
-                 eff_table, r_max_um):
-    """One SDM coalescence substep, cell-major (reference
-    particles_impl_coal.ipp:273-546).
+def pair_and_collide(cfg: StaticConfig, params, sorted_vals, count,
+                     dv_row, rhod_row, eta_row, dt, u01,
+                     eff_table=None, r_max_um=0.0):
+    """Post-shuffle pairing + Shima collision math on row-sorted SD blocks
+    (reference particles_impl_coal.ipp:98-546 after the shuffle-sort).
 
-    The reference's global shuffle-sort becomes one batched lane-wise sort
-    of random keys per row: alive slots draw u01 < 1, empty slots key 2.0 so
-    they sort past every live SD; all pair attributes ride the sort as
-    values.  No sort-back is needed — slot order within a row carries no
-    meaning."""
-    n_cell, cap = d.n.shape
-    u = jax.random.uniform(key, (n_cell, cap))
-    alive = d.n > 0
-    skey = jnp.where(alive, u, 2.0)
+    Pure jnp over (rows, cap) arrays — shared VERBATIM by the XLA path
+    (after jax.lax.sort) and the Pallas kernel (after the in-kernel bitonic
+    sort), so the two backends cannot drift.  ``sorted_vals`` is
+    (n, rw2, rd3, kpa, vt) sorted by the random key within each row;
+    ``u01`` the Bernoulli draws; row vectors are (rows, 1)-broadcastable.
+    Returns (n, rw2, rd3, kpa, overflow_flag)."""
+    n_a, rw2_a, rd3_a, kpa_a, vt_a = sorted_vals
+    cap = n_a.shape[-1]
 
-    sorted_ = jax.lax.sort(
-        (skey, d.n, d.rw2, d.rd3, d.kpa, d.vt, d.x, d.z),
-        dimension=1, num_keys=1)
-    n_a, rw2_a, rd3_a, kpa_a, vt_a, x_s, z_s = sorted_[1:]
-
-    count = jnp.sum(alive, axis=1).astype(d.n.dtype)
     # Shima 2009 sec 5.1.3 scale factor (coal.ipp:99-107)
     half = jnp.floor(count / 2)
     scale = jnp.where(count > 1, count * (count - 1) / 2.0 / half, 0.0)
 
-    lane = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    is_pair = (lane % 2 == 0) & (lane + 1 < count[:, None])
+    lane = jax.lax.broadcasted_iota(jnp.int32, n_a.shape, n_a.ndim - 1)
+    is_pair = (lane % 2 == 0) & (lane + 1 < count)
 
     n_b = _lshift(n_a)
     rw2_b = _lshift(rw2_a)
@@ -318,20 +336,14 @@ def coal_substep(cfg: StaticConfig, d: DenseState, params, dt, key,
     K = coal_mod.kernel_value(
         cfg, params, n_a, n_b, rw2_a, rw2_b, vt_a, vt_b, rd3_a, rd3_b,
         eff_table=eff_table, r_max_um=r_max_um,
-        rhod=d.rhod[:, None], eta=d.eta[:, None], diss_rate=0.0,
+        rhod=rhod_row, eta=eta_row, diss_rate=0.0,
     )
-    prob = dt / d.dv[:, None] * scale[:, None] * K
+    prob = dt / dv_row * scale * K
     prob = jnp.where(is_pair, prob, 0.0)
 
     # all-or-nothing multi-collision (coal.ipp:218-236)
     col_no = jnp.floor(prob)
-    puddle = d.puddle
-    if cfg.pure_const_multi:
-        # adaptive sstp_coal growth request (coal.ipp:224-227)
-        from .state import OUT_COAL_OVERFLOW
-        puddle = puddle.at[OUT_COAL_OVERFLOW].max(
-            (jnp.max(col_no) >= 1.0).astype(puddle.dtype))
-    u01 = jax.random.uniform(jax.random.fold_in(key, 1), (n_cell, cap))
+    overflow = jnp.max(jnp.where(is_pair, col_no, 0.0)) >= 1.0
     col_no = col_no + (u01 < prob - col_no)
 
     a_is_big = n_a >= n_b
@@ -376,18 +388,95 @@ def coal_substep(cfg: StaticConfig, d: DenseState, params, dt, key,
     rd3_s = jnp.where(hp & bigp, _rshift(rd3_small_new), rd3_s)
     kpa_s = jnp.where(happened & ~a_is_big, kpa_small_new, kpa_a)
     kpa_s = jnp.where(hp & bigp, _rshift(kpa_small_new), kpa_s)
+    return n_s, rw2_s, rd3_s, kpa_s, overflow
 
+
+def coal_substep(cfg: StaticConfig, d: DenseState, params, dt, key,
+                 eff_table, r_max_um):
+    """One SDM coalescence substep, cell-major (reference
+    particles_impl_coal.ipp:273-546).
+
+    The reference's global shuffle-sort becomes one batched lane-wise sort
+    of random keys per row: alive slots draw u01 < 1, empty slots key 2.0 so
+    they sort past every live SD; all pair attributes ride the sort as
+    values.  No sort-back is needed — slot order within a row carries no
+    meaning."""
+    n_cell, cap = d.n.shape
+    u = jax.random.uniform(key, (n_cell, cap))
+    alive = d.n > 0
+    skey = jnp.where(alive, u, 2.0)
+
+    sorted_ = jax.lax.sort(
+        (skey, d.n, d.rw2, d.rd3, d.kpa, d.vt, d.x, d.z),
+        dimension=1, num_keys=1)
+    x_s, z_s = sorted_[6], sorted_[7]
+    vt_a = sorted_[5]
+
+    count = jnp.sum(alive, axis=1).astype(d.n.dtype)[:, None]
+    u01 = jax.random.uniform(jax.random.fold_in(key, 1), (n_cell, cap))
+    n_s, rw2_s, rd3_s, kpa_s, ovf = pair_and_collide(
+        cfg, params, sorted_[1:6], count,
+        d.dv[:, None], d.rhod[:, None], d.eta[:, None], dt, u01,
+        eff_table=eff_table, r_max_um=r_max_um,
+    )
+    puddle = d.puddle
+    if cfg.pure_const_multi:
+        # adaptive sstp_coal growth request (coal.ipp:224-227)
+        from .state import OUT_COAL_OVERFLOW
+        puddle = puddle.at[OUT_COAL_OVERFLOW].max(
+            ovf.astype(puddle.dtype))
     return dataclasses.replace(
         d, n=n_s, rw2=rw2_s, rd3=rd3_s, kpa=kpa_s, vt=vt_a, x=x_s, z=z_s,
         puddle=puddle)
 
 
+def _coal_pallas_ok(cfg: StaticConfig, d: DenseState):
+    """The in-kernel coalescence loop covers the formula-based collision
+    kernels and vt formulas at f32 on TPU; everything else (efficiency
+    tables, turbulent kernels, f64 parity) stays on the XLA path."""
+    import os
+    if os.environ.get("LIBCLOUD_PALLAS", "auto") == "0":
+        return False
+    cap = d.n.shape[1]
+    if cap & (cap - 1):     # bitonic network needs a power-of-two width
+        return False
+    if kernel_t(cfg.kernel) not in (kernel_t.golovin, kernel_t.geometric,
+                                    kernel_t.long):
+        return False
+    if cfg.pure_const_multi:
+        # the increase_sstp_coal flag plumbing stays on the XLA path
+        return False
+    if d.n.dtype != jnp.float32:
+        return False
+    # the on-core PRNG does not interpret on CPU (prng_seed has no CPU
+    # lowering), so the kernel is strictly TPU-only
+    return jax.default_backend() == "tpu"
+
+
 def coal(cfg: StaticConfig, d: DenseState, params, dt, sstp_coal: int):
     """The sstp_coal coalescence loop with per-substep terminal-velocity
-    refresh (particles_step.ipp:382-404 + hskpng_vterm_invalid)."""
+    refresh (particles_step.ipp:382-404 + hskpng_vterm_invalid).
+
+    On TPU/f32 the whole loop runs as ONE Pallas kernel
+    (ops/pallas_coal.py: in-VMEM bitonic shuffle + on-core PRNG + the same
+    pair_and_collide math); the XLA path remains for f64 parity and the
+    table-based kernels."""
     dt_sub = dt / sstp_coal
-    eff_table, r_max_um = coal_mod.load_efficiency_table(kernel_t(cfg.kernel))
     row = lambda a: a[:, None]
+    if _coal_pallas_ok(cfg, d):
+        from ..ops.pallas_coal import coal_pallas
+        shape = d.n.shape
+        key, sub = jax.random.split(d.key)
+        seed = jax.random.randint(sub, (), 0, jnp.int32(2**31 - 1))
+        brow = lambda a: jnp.broadcast_to(a[:, None], shape)
+        n, rw2, rd3, kpa, vt, x, z, _ovf = coal_pallas(
+            cfg, int(sstp_coal), float(dt_sub), seed, params,
+            d.n, d.rw2, d.rd3, d.kpa, d.x, d.z,
+            brow(d.T), brow(d.p), brow(d.rhod), brow(d.eta), brow(d.dv))
+        return dataclasses.replace(
+            d, n=n, rw2=rw2, rd3=rd3, kpa=kpa, vt=vt, x=x, z=z, key=key)
+
+    eff_table, r_max_um = coal_mod.load_efficiency_table(kernel_t(cfg.kernel))
 
     def body(_, carry):
         d = carry

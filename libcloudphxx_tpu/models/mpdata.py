@@ -158,9 +158,12 @@ def _advect_body(psi, gc_x, gc_z, G, n_iters, fct):
 def _pallas_ok(psi):
     """The whole MPDATA step fits one Pallas program when the grid is small
     enough to sit in VMEM (the canonical 76x76 case uses ~100 KB); the
-    f64/CPU parity path keeps plain XLA."""
+    f64/CPU parity path keeps plain XLA.  LIBCLOUD_MPDATA_XLA=1 forces the
+    plain-XLA path for A/B without touching the condensation kernel."""
     import os
     if os.environ.get("LIBCLOUD_PALLAS", "auto") == "0":
+        return False
+    if os.environ.get("LIBCLOUD_MPDATA_XLA", "0") == "1":
         return False
     return (psi.dtype == jnp.float32 and psi.size <= 512 * 512
             and jax.default_backend() == "tpu")
