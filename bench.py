@@ -2,18 +2,19 @@
 
 Runs the canonical GMD-2015 kinematic workload configuration (76x76 cells,
 sd_conc=64, sstp_cond=sstp_coal=10 — BASELINE.md canonical + travis config)
-as ONE fused device-resident XLA program (MPDATA + substepped implicit
-condensation + substepped stochastic coalescence + advection + sedimentation
-+ boundaries, lax.scan over steps) and reports one JSON line.
+fully device-resident and reports one JSON line.
+
+The stepping backend is the dense cell-major engine (lgrngn/dense.py:
+occupancy-matrix layout, Pallas condensation + Pallas coalescence kernels,
+one fused jitted step chained from the host — lax.scan pessimises the
+sort/gather pipeline ~11x on TPU, tools/profile_dense3.py).  If the dense
+engine cannot run the configuration it falls back to the flat engine, so
+the bench always produces a number.
 
 An "SD update" = one super-droplet advanced through one full model timestep.
-Also reported (stderr): grid-points/s and a per-phase wall-clock profile
-(MPDATA / condensation / coalescence / transport) so the next optimization
-target is visible.
-
-The reference publishes no throughput numbers (BASELINE.md), so vs_baseline
-reports the ratio against the last locally recorded value in
-.bench_baseline.json when present, else 1.0.
+vs_baseline is the ratio against the last locally recorded value in
+.bench_baseline.json when present (the reference publishes no throughput
+numbers, BASELINE.md), else 1.0.
 """
 
 import json
@@ -23,13 +24,12 @@ import time
 
 import jax
 
-# persistent compilation cache: the fused unrolled step is big; compiling it
-# through a remote-TPU tunnel is slow, so pay it once per machine
+# persistent compilation cache: compiling through the remote-TPU tunnel is
+# slow, so pay it once per machine
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.libcloudphxx_tpu_jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-import jax.numpy as jnp
 import numpy as np
 
 NX = NZ = 76
@@ -39,55 +39,13 @@ SSTP_COAL = 10
 N_STEPS = 100
 
 
-def _time(fn, *args, reps=3):
-    fn(*args)  # compile + warm
-    best = float("inf")
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
-def profile_phases(model):
-    """Per-phase single-step timings (stderr), reference hot-loop ranking
-    (SURVEY section 3.5)."""
-    from libcloudphxx_tpu.lgrngn.particles import (_step_async_jit,
-                                                   _step_cond_jit)
-    from libcloudphxx_tpu.models import mpdata
-    p = model.prtcls
-    cfg = p.cfg
-    st = p.state
-    dt = model.setup.dt
-    th = jnp.asarray(model.th)
-
-    t_mpdata = _time(lambda: mpdata.advect(
-        th, model.gc_x, model.gc_z, model.G, n_iters=2, fct=model.fct))
-    t_cond = _time(lambda: _step_cond_jit(cfg, st, dt, 44.0, False, False,
-                                          True).rw2)
-    params = jnp.asarray(np.asarray(p.opts_init.kernel_parameters,
-                                    dtype=float))
-    w_LS = jnp.zeros(cfg.nz)
-    sgs = jnp.full(cfg.nz, cfg.dz)
-
-    def async_(coal):
-        sw = (coal, True, True, False, False, False, False, False)
-        return _step_async_jit(cfg, SSTP_COAL, sw, st, params, w_LS, sgs,
-                               dt).x
-    t_async = _time(lambda: async_(True))
-    t_async_nocoal = _time(lambda: async_(False))
-    prof = {
-        "mpdata(x2)": 2 * t_mpdata,
-        "cond": t_cond,
-        "coal": t_async - t_async_nocoal,
-        "transport+vterm": t_async_nocoal,
-    }
-    tot = sum(prof.values())
-    for k, v in prof.items():
-        print(f"# phase {k}: {v*1e3:8.2f} ms/step ({100*v/tot:4.1f}%)",
-              file=sys.stderr, flush=True)
-    return prof
+def run_engine(model, engine, n_steps):
+    model.run_device_lgrngn(n_steps, engine=engine)  # compile + warm
+    print(f"# warmup done ({engine})", file=sys.stderr, flush=True)
+    t0 = time.perf_counter()
+    model.run_device_lgrngn(n_steps, engine=engine)
+    jax.block_until_ready(model.prtcls.state.th)
+    return time.perf_counter() - t0
 
 
 def main():
@@ -102,25 +60,20 @@ def main():
     n_sd = int(np.sum(model.prtcls.get_attr("n") > 0))
     print(f"# init done: {n_sd} SDs", file=sys.stderr, flush=True)
 
-    # compile + warm the fused scan, then time it
-    model.run_device_lgrngn(N_STEPS)
-    print("# warmup done", file=sys.stderr, flush=True)
-
-    t0 = time.perf_counter()
-    model.run_device_lgrngn(N_STEPS)
-    jax.block_until_ready(model.prtcls.state.th)
-    elapsed = time.perf_counter() - t0
+    engine = "dense"
+    try:
+        elapsed = run_engine(model, "dense", N_STEPS)
+    except Exception as e:  # loud fallback: the bench must produce a number
+        print(f"# dense engine failed ({type(e).__name__}: {e}); "
+              f"falling back to flat", file=sys.stderr, flush=True)
+        engine = "flat"
+        elapsed = run_engine(model, "flat", N_STEPS)
 
     sd_updates_per_s = n_sd * N_STEPS / elapsed
     grid_points_per_s = NX * NZ * N_STEPS / elapsed
-    print(f"# {elapsed/N_STEPS*1e3:.2f} ms/step; "
+    print(f"# engine={engine}: {elapsed/N_STEPS*1e3:.2f} ms/step; "
           f"grid-points/s: {grid_points_per_s:.3e}",
           file=sys.stderr, flush=True)
-
-    try:
-        profile_phases(model)
-    except Exception as e:  # profile is informational only
-        print(f"# phase profile failed: {e}", file=sys.stderr, flush=True)
 
     baseline_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".bench_baseline.json"
@@ -136,7 +89,7 @@ def main():
 
     print(json.dumps({
         "metric": "SD-updates/s/chip (kinematic_2D 76x76 sd_conc=64 "
-                  "sstp_cond=10 sstp_coal=10)",
+                  f"sstp_cond=10 sstp_coal=10, {engine} engine)",
         "value": round(sd_updates_per_s, 1),
         "unit": "SD-updates/s",
         "vs_baseline": round(vs_baseline, 3),

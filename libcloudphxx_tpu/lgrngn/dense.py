@@ -124,7 +124,12 @@ def _distribute(cfg: StaticConfig, cap, cell, vals):
     n_cell = cfg.n_cell
     N = cell.shape[0]
     lane = jnp.arange(cap, dtype=jnp.int32)
-    variant = os.environ.get("LIBCLOUD_DENSE_DISTRIBUTE", "scatter")
+    # default "gather": measured 237 ms/step for the full dense step on the
+    # v5e; the "scatter" variant (1-D scatters instead of the 8 big
+    # gathers) should beat it but its XLA scatter lowering compiles
+    # pathologically slowly through the remote-compile tunnel — opt-in
+    # until that is resolved
+    variant = os.environ.get("LIBCLOUD_DENSE_DISTRIBUTE", "gather")
     if variant == "scatter":
         # ride the sort, then ONE 1-D scatter per plane: sorted position p
         # belongs to cell c = cell_s[p] at lane l = p - off[c]; its flat
@@ -469,7 +474,7 @@ def coal(cfg: StaticConfig, d: DenseState, params, dt, sstp_coal: int):
         key, sub = jax.random.split(d.key)
         seed = jax.random.randint(sub, (), 0, jnp.int32(2**31 - 1))
         brow = lambda a: jnp.broadcast_to(a[:, None], shape)
-        n, rw2, rd3, kpa, vt, x, z, _ovf = coal_pallas(
+        n, rw2, rd3, kpa, vt, x, z = coal_pallas(
             cfg, int(sstp_coal), float(dt_sub), seed, params,
             d.n, d.rw2, d.rd3, d.kpa, d.x, d.z,
             brow(d.T), brow(d.p), brow(d.rhod), brow(d.eta), brow(d.dv))
