@@ -60,14 +60,25 @@ def main():
     n_sd = int(np.sum(model.prtcls.get_attr("n") > 0))
     print(f"# init done: {n_sd} SDs", file=sys.stderr, flush=True)
 
+    # fallback ladder: dense w/ Pallas-coal -> dense w/o -> flat; the bench
+    # must always produce a number
     engine = "dense"
     try:
         elapsed = run_engine(model, "dense", N_STEPS)
-    except Exception as e:  # loud fallback: the bench must produce a number
-        print(f"# dense engine failed ({type(e).__name__}: {e}); "
-              f"falling back to flat", file=sys.stderr, flush=True)
-        engine = "flat"
-        elapsed = run_engine(model, "flat", N_STEPS)
+    except Exception as e:
+        print(f"# dense+pallas-coal failed ({type(e).__name__}: {e}); "
+              f"retrying without the coal kernel", file=sys.stderr,
+              flush=True)
+        model._lgrngn_runners = {}
+        os.environ["LIBCLOUD_PALLAS_COAL"] = "0"
+        try:
+            elapsed = run_engine(model, "dense", N_STEPS)
+            engine = "dense/no-coal-kernel"
+        except Exception as e2:
+            print(f"# dense failed ({type(e2).__name__}: {e2}); "
+                  f"falling back to flat", file=sys.stderr, flush=True)
+            engine = "flat"
+            elapsed = run_engine(model, "flat", N_STEPS)
 
     sd_updates_per_s = n_sd * N_STEPS / elapsed
     grid_points_per_s = NX * NZ * N_STEPS / elapsed

@@ -312,7 +312,7 @@ def _rshift_mask(m):
 
 def pair_and_collide(cfg: StaticConfig, params, sorted_vals, count,
                      dv_row, rhod_row, eta_row, dt, u01,
-                     eff_table=None, r_max_um=0.0):
+                     eff_table=None, r_max_um=0.0, cbrt_fn=jnp.cbrt):
     """Post-shuffle pairing + Shima collision math on row-sorted SD blocks
     (reference particles_impl_coal.ipp:98-546 after the shuffle-sort).
 
@@ -370,7 +370,9 @@ def pair_and_collide(cfg: StaticConfig, params, sorted_vals, count,
     n_big_new = n_big - col_no * n_small
     rw3_small_new = col_no * rw2_big * jnp.sqrt(rw2_big) \
         + rw2_small * jnp.sqrt(rw2_small)
-    rw2_small_new = jnp.cbrt(rw3_small_new) ** 2
+    # cbrt_fn: jnp.cbrt on the XLA paths; the Pallas kernel passes the
+    # exp/log composition (Mosaic has no cbrt lowering)
+    rw2_small_new = cbrt_fn(rw3_small_new) ** 2
     rd3_small_new = col_no * rd3_big + rd3_small
     kpa_small_new = jnp.where(
         rd3_small_new > 0,
@@ -441,6 +443,8 @@ def _coal_pallas_ok(cfg: StaticConfig, d: DenseState):
     tables, turbulent kernels, f64 parity) stays on the XLA path."""
     import os
     if os.environ.get("LIBCLOUD_PALLAS", "auto") == "0":
+        return False
+    if os.environ.get("LIBCLOUD_PALLAS_COAL", "1") == "0":
         return False
     cap = d.n.shape[1]
     if cap & (cap - 1):     # bitonic network needs a power-of-two width

@@ -60,10 +60,15 @@ def bitonic_sort_rows(key, vals):
 
 
 def _u01(shape):
-    """Uniform [0, 1) f32 from the on-core PRNG."""
+    """Uniform [0, 1) f32 from the on-core PRNG via the mantissa-fill
+    bitcast (uint->float converts don't lower in Mosaic): set the exponent
+    to 127 and the mantissa to 23 random bits -> [1, 2), subtract 1."""
     bits = pltpu.prng_random_bits(shape)
-    return (bits >> jnp.uint32(8)).astype(jnp.float32) * jnp.float32(
-        1.0 / (1 << 24))
+    mant = jax.lax.shift_right_logical(
+        pltpu.bitcast(bits, jnp.int32), jnp.int32(9))
+    f = pltpu.bitcast(jax.lax.bitwise_or(mant, jnp.int32(0x3F800000)),
+                      jnp.float32)
+    return f - jnp.float32(1.0)
 
 
 def _vt_in_kernel(cfg, rw2, T, p, rhod, eta):
@@ -103,7 +108,9 @@ def _kernel(cfg, sstp_coal, dt_sub, seed_ref, params_ref,
     rhod = rhod_ref[:]
     eta = eta_ref[:]
     dv = dv_ref[:]
-    params = params_ref[:]
+    # SMEM loads scalars only on hardware; the supported kernels (golovin,
+    # geometric[, long]) use at most params[0]
+    params = jnp.stack([params_ref[0]])
 
     vt = jnp.zeros_like(rw2)
     for _ in range(sstp_coal):
@@ -115,9 +122,11 @@ def _kernel(cfg, sstp_coal, dt_sub, seed_ref, params_ref,
             skey, (n, rw2, rd3, kpa, vt, x, z))
         count = jnp.sum((n > 0).astype(n.dtype), axis=1, keepdims=True)
         u01 = _u01(n.shape)
+        from ..common.fastmath import cbrt_pos
         n, rw2, rd3, kpa, _o = pair_and_collide(
             cfg, params, (n, rw2, rd3, kpa, vt), count,
-            dv, rhod, eta, dt_sub, u01)
+            dv, rhod, eta, dt_sub, u01,
+            cbrt_fn=lambda v: cbrt_pos(jnp.maximum(v, 1e-38)))
         # the overflow flag is unused here: the kernel is gated to
         # non-pure-const-multi configs (increase_sstp_coal stays on XLA)
     vt = _vt_in_kernel(cfg, rw2, T, p, rhod, eta)
