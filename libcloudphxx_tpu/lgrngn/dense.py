@@ -383,9 +383,11 @@ def pair_and_collide(cfg: StaticConfig, params, sorted_vals, count,
 
     # pair outcome applied through lane shifts (lane p holds the math,
     # lane p+1 reads it shifted) — exactly the flat engine's sorted-space
-    # write-back, minus the sort-back
-    hp = _rshift_mask(happened)
-    bigp = _rshift(a_is_big)
+    # write-back, minus the sort-back.  The masks shift in FLOAT space:
+    # Mosaic cannot concatenate i1 vectors (tpu.bitcast_vreg i1->i32), and
+    # 0.0/1.0 floats shift identically
+    hp = _rshift_mask(happened.astype(n_a.dtype)) > 0
+    bigp = _rshift(a_is_big.astype(n_a.dtype)) > 0
 
     n_s = jnp.where(happened & a_is_big, n_big_new, n_a)
     n_s = jnp.where(hp & ~bigp, _rshift(n_big_new), n_s)

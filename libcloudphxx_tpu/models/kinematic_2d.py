@@ -574,7 +574,10 @@ class Kinematic2D:
         cache = getattr(self, "_lgrngn_runners", None)
         if cache is None:
             cache = self._lgrngn_runners = {}
-        use_scan = os.environ.get("LIBCLOUD_SCAN", "0") == "1"
+        # measured (PERF_r03.md): scan helps the flat engine (320 vs 423
+        # ms/step) but pessimises the dense one ~11x; default accordingly
+        default_scan = "1" if engine == "flat" else "0"
+        use_scan = os.environ.get("LIBCLOUD_SCAN", default_scan) == "1"
         if use_scan:
             key = (sp, n, engine, True)
             if key not in cache:

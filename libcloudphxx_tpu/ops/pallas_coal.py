@@ -48,9 +48,12 @@ def bitonic_sort_rows(key, vals):
         j = k // 2
         while j >= 1:
             pk = _xor_shuffle(key, j, lane)
-            lower = (lane & j) == 0
-            up = (lane & k) == 0
-            take = jnp.where(lower == up, key > pk, key < pk)
+            # take-partner predicate in pure mask algebra: Mosaic rejects
+            # bool==bool and i1-valued where-branches (arith.trunci)
+            jb = (lane & j) != 0
+            kb = (lane & k) != 0
+            neq = jb ^ kb
+            take = ((~neq) & (key > pk)) | (neq & (key < pk))
             key = jnp.where(take, pk, key)
             vals = tuple(
                 jnp.where(take, _xor_shuffle(v, j, lane), v) for v in vals)
@@ -111,9 +114,10 @@ def _kernel(cfg, sstp_coal, dt_sub, seed_ref, params_ref,
     # SMEM loads scalars only on hardware; the supported kernels (golovin,
     # geometric[, long]) use at most params[0]
     params = jnp.stack([params_ref[0]])
+    from ..common.fastmath import cbrt_pos
 
-    vt = jnp.zeros_like(rw2)
-    for _ in range(sstp_coal):
+    def substep(_, carry):
+        n, rw2, rd3, kpa, x, z = carry
         # hskpng_vterm_invalid equivalent: refresh vt from current rw2
         vt = _vt_in_kernel(cfg, rw2, T, p, rhod, eta)
         u = _u01(n.shape)
@@ -122,13 +126,18 @@ def _kernel(cfg, sstp_coal, dt_sub, seed_ref, params_ref,
             skey, (n, rw2, rd3, kpa, vt, x, z))
         count = jnp.sum((n > 0).astype(n.dtype), axis=1, keepdims=True)
         u01 = _u01(n.shape)
-        from ..common.fastmath import cbrt_pos
         n, rw2, rd3, kpa, _o = pair_and_collide(
             cfg, params, (n, rw2, rd3, kpa, vt), count,
             dv, rhod, eta, dt_sub, u01,
             cbrt_fn=lambda v: cbrt_pos(jnp.maximum(v, 1e-38)))
         # the overflow flag is unused here: the kernel is gated to
         # non-pure-const-multi configs (increase_sstp_coal stays on XLA)
+        return (n, rw2, rd3, kpa, x, z)
+
+    # rolled loop: the unrolled 10-substep body made the Mosaic program
+    # pathologically slow to compile
+    n, rw2, rd3, kpa, x, z = jax.lax.fori_loop(
+        0, sstp_coal, substep, (n, rw2, rd3, kpa, x, z))
     vt = _vt_in_kernel(cfg, rw2, T, p, rhod, eta)
 
     n_out[:] = n
