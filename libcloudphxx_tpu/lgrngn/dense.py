@@ -132,26 +132,28 @@ def _distribute(cfg: StaticConfig, cap, cell, vals):
     variant = os.environ.get("LIBCLOUD_DENSE_DISTRIBUTE", "gather")
     if variant == "scatter":
         # ride the sort, then ONE 1-D scatter per plane: sorted position p
-        # belongs to cell c = cell_s[p] at lane l = p - off[c]; its flat
-        # target is c*cap + l (dropped when l >= cap).  Avoids the 740k
-        # random GATHERS of the other variants (~20 ms each on TPU; the
-        # multi-operand sort itself is ~3 ms).
+        # belongs to cell c = cell_s[p] at lane l = p - (start of c's run).
+        # The run start comes from a cummax over run boundaries, so there
+        # are NO per-element gathers at all (the 740k-element gathers of
+        # the other variants are the dominant rebin cost, ~15-20 ms each);
+        # the 1-D scatters have unique targets.
         sorted_ = jax.lax.sort((cell.astype(jnp.int32),) + tuple(vals),
                                num_keys=1)
         cell_s, vals_s = sorted_[0], sorted_[1:]
-        bounds = jnp.searchsorted(cell_s,
-                                  jnp.arange(n_cell + 1, dtype=jnp.int32))
-        cnt = bounds[1:] - bounds[:-1]
         pos = jnp.arange(N, dtype=jnp.int32)
+        prev = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                                cell_s[:-1]])
+        run_start = jax.lax.cummax(
+            jnp.where(cell_s != prev, pos, jnp.int32(0)))
+        l = pos - run_start
         in_dom = cell_s < n_cell
-        cell_c = jnp.minimum(cell_s, n_cell - 1)
-        l = pos - bounds[:-1][cell_c]
-        tgt = jnp.where(in_dom & (l < cap), cell_c * cap + l, n_cell * cap)
+        tgt = jnp.where(in_dom & (l < cap),
+                        cell_s * cap + l, n_cell * cap)
         dense_vals = tuple(
             jnp.zeros((n_cell, cap), v.dtype).reshape(-1)
             .at[tgt].set(v, mode="drop").reshape(n_cell, cap)
             for v in vals_s)
-        overflow = jnp.sum(jnp.maximum(cnt - cap, 0))
+        overflow = jnp.sum(jnp.where(in_dom & (l >= cap), 1, 0))
         return dense_vals, overflow
     if variant == "ride":
         sorted_ = jax.lax.sort((cell.astype(jnp.int32),) + tuple(vals),
