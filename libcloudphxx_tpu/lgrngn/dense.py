@@ -448,7 +448,11 @@ def _coal_pallas_ok(cfg: StaticConfig, d: DenseState):
     import os
     if os.environ.get("LIBCLOUD_PALLAS", "auto") == "0":
         return False
-    if os.environ.get("LIBCLOUD_PALLAS_COAL", "1") == "0":
+    # OFF by default: the kernel alone runs 10 substeps in 32 ms at bench
+    # shape (vs 87 ms XLA) but embedded in the fused step it REGRESSES the
+    # step 214 -> 520 ms (XLA schedules ~300 ms of layout copies around
+    # the pallas_call); opt-in until the integration is solved
+    if os.environ.get("LIBCLOUD_PALLAS_COAL", "0") == "0":
         return False
     cap = d.n.shape[1]
     if cap & (cap - 1):     # bitonic network needs a power-of-two width

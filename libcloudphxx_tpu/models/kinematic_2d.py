@@ -535,7 +535,13 @@ class Kinematic2D:
         (lgrngn/dense.py) — same pipeline as _lgrngn_step_fn with the SD
         population held as a (n_cell, cap) occupancy matrix, so per-cell
         reductions are row reductions and the coalescence shuffle is a
-        cap-wide batched sort."""
+        cap-wide batched sort.
+
+        When the Pallas coalescence kernel is enabled
+        (LIBCLOUD_PALLAS_COAL=1) the step splits into two jitted halves
+        around the standalone kernel dispatch: embedding the pallas_call
+        inside the fused program makes XLA schedule ~300 ms of layout
+        copies around it, while three chained dispatches cost ~2 ms."""
         from ..lgrngn import dense as dense_mod
         p = self.prtcls
         cfg = p.cfg
@@ -550,15 +556,46 @@ class Kinematic2D:
         n_iters, fct = self.mpdata_iters, self.fct
         nx, nz = self.nx, self.nz
 
-        def f(carry):
+        import os
+        split_coal = (do_coal
+                      and os.environ.get("LIBCLOUD_PALLAS_COAL", "0") == "1")
+
+        if not split_coal:
+            def f(carry):
+                d, th, rv = carry
+                th = mpdata.advect(th, gc_x, gc_z, G, n_iters=n_iters,
+                                   fct=fct)
+                rv = mpdata.advect(rv, gc_x, gc_z, G, n_iters=n_iters,
+                                   fct=fct)
+                d, thc, rvc = dense_mod.step_cond(
+                    cfg, d, th.reshape(-1), rv.reshape(-1), dt, RH_max)
+                d = dense_mod.step_async(cfg, d, params, dt,
+                                         int(oi.sstp_coal), do_coal,
+                                         do_sedi)
+                return (d, thc.reshape(nx, nz), rvc.reshape(nx, nz))
+            return f
+
+        @jax.jit
+        def part1(carry):
             d, th, rv = carry
             th = mpdata.advect(th, gc_x, gc_z, G, n_iters=n_iters, fct=fct)
             rv = mpdata.advect(rv, gc_x, gc_z, G, n_iters=n_iters, fct=fct)
             d, thc, rvc = dense_mod.step_cond(
                 cfg, d, th.reshape(-1), rv.reshape(-1), dt, RH_max)
-            d = dense_mod.step_async(cfg, d, params, dt,
-                                     int(oi.sstp_coal), do_coal, do_sedi)
+            return d, thc, rvc
+
+        @jax.jit
+        def part2(d):
+            # transport after coalescence (step_async minus coal)
+            d = dense_mod.adve_sedi_bcnd(cfg, d, dt, do_sedi)
+            return dense_mod.rebin(cfg, d)
+
+        def f(carry):
+            d, thc, rvc = part1(carry)
+            d = dense_mod.coal(cfg, d, params, dt, int(oi.sstp_coal))
+            d = part2(d)
             return (d, thc.reshape(nx, nz), rvc.reshape(nx, nz))
+        f._nojit = True
         return f
 
     def _lgrngn_runner(self, sp: bool, n: int, engine: str = "flat"):
@@ -590,7 +627,9 @@ class Kinematic2D:
         if key not in cache:
             f = (self._lgrngn_step_fn_dense(sp) if engine == "dense"
                  else self._lgrngn_step_fn(sp))
-            cache[key] = jax.jit(f)
+            # a step composed of pre-jitted pieces around a standalone
+            # Pallas dispatch must not be re-wrapped
+            cache[key] = f if getattr(f, "_nojit", False) else jax.jit(f)
         fj = cache[key]
 
         def run(c):
