@@ -451,8 +451,9 @@ def _coal_pallas_ok(cfg: StaticConfig, d: DenseState):
     # OFF by default: the kernel alone runs 10 substeps in 32 ms at bench
     # shape (vs 87 ms XLA) but embedded in the fused step it REGRESSES the
     # step 214 -> 520 ms (XLA schedules ~300 ms of layout copies around
-    # the pallas_call); opt-in until the integration is solved
-    if os.environ.get("LIBCLOUD_PALLAS_COAL", "0") == "0":
+    # the pallas_call); opt-in ("1" = split dispatch, "embed" = in the
+    # fused program with in-place aliasing) until the integration is solved
+    if os.environ.get("LIBCLOUD_PALLAS_COAL", "0") not in ("1", "embed"):
         return False
     cap = d.n.shape[1]
     if cap & (cap - 1):     # bitonic network needs a power-of-two width
@@ -482,14 +483,12 @@ def coal(cfg: StaticConfig, d: DenseState, params, dt, sstp_coal: int):
     row = lambda a: a[:, None]
     if _coal_pallas_ok(cfg, d):
         from ..ops.pallas_coal import coal_pallas
-        shape = d.n.shape
         key, sub = jax.random.split(d.key)
         seed = jax.random.randint(sub, (), 0, jnp.int32(2**31 - 1))
-        brow = lambda a: jnp.broadcast_to(a[:, None], shape)
         n, rw2, rd3, kpa, vt, x, z = coal_pallas(
             cfg, int(sstp_coal), float(dt_sub), seed, params,
             d.n, d.rw2, d.rd3, d.kpa, d.x, d.z,
-            brow(d.T), brow(d.p), brow(d.rhod), brow(d.eta), brow(d.dv))
+            d.T, d.p, d.rhod, d.eta, d.dv)
         return dataclasses.replace(
             d, n=n, rw2=rw2, rd3=rd3, kpa=kpa, vt=vt, x=x, z=z, key=key)
 

@@ -559,6 +559,8 @@ class Kinematic2D:
         import os
         split_coal = (do_coal
                       and os.environ.get("LIBCLOUD_PALLAS_COAL", "0") == "1")
+        # "embed" keeps the kernel inside the fused program (relies on the
+        # pallas_call input/output aliasing to avoid the layout copies)
 
         if not split_coal:
             def f(carry):

@@ -171,8 +171,12 @@ def coal_pallas(cfg, sstp_coal, dt_sub, seed, params,
             a = jnp.pad(a, ((0, pad_rows), (0, 0)))
         return a
 
-    arrays = tuple(prep(a) for a in
-                   (n, rw2, rd3, kpa, x, z, T, p, rhod, eta, dv))
+    # SD planes are full (rows, cap) blocks; cell vectors travel as
+    # (rows, 1) columns and broadcast in-kernel — materialised broadcasts
+    # cost ~160 ms of layout conversion around the call
+    arrays = tuple(prep(a) for a in (n, rw2, rd3, kpa, x, z))
+    cells = tuple(prep(a.reshape(n_cell, 1)) for a in
+                  (T, p, rhod, eta, dv))
     # pad with a neutral 1.0 so the array is never empty: the geometric
     # kernel multiplies by params[0] whenever params is non-empty
     # (kernel_value), and geo * 1.0 == plain geometric
@@ -183,16 +187,22 @@ def coal_pallas(cfg, sstp_coal, dt_sub, seed, params,
 
     spec = pl.BlockSpec((block_rows, cap), lambda i: (i, 0),
                         memory_space=pltpu.VMEM)
+    cspec = pl.BlockSpec((block_rows, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
     scal = pl.BlockSpec(memory_space=pltpu.SMEM)
     outs = pl.pallas_call(
         functools.partial(_kernel, cfg, sstp_coal, dt_sub),
         grid=(nblk,),
         out_shape=tuple(
             [jax.ShapeDtypeStruct(arrays[0].shape, jnp.float32)] * 7),
-        in_specs=[scal, scal] + [spec] * 11,
+        in_specs=[scal, scal] + [spec] * 6 + [cspec] * 5,
         out_specs=tuple([spec] * 7),
+        # alias the six mutated SD planes in place (n,rw2,rd3,kpa,x,z ->
+        # outputs 0-3,5,6): without this, embedding the call in a fused
+        # program makes XLA materialise copies of every operand around it
+        input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3, 6: 5, 7: 6},
         interpret=interpret,
-    )(seed32, params32, *arrays)
+    )(seed32, params32, *arrays, *cells)
     if pad_rows:
         outs = tuple(o[:n_cell] for o in outs)
     return outs

@@ -61,13 +61,13 @@ def test_kernel_loop_conserves_mass_and_reduces_count():
     n, rw2, rd3, kpa = _box_dense()
     shape = n.shape
     f32 = lambda a: jnp.asarray(a, jnp.float32)
-    ones = jnp.ones(shape, jnp.float32)
+    onec = jnp.ones(shape[0], jnp.float32)   # cell vectors, (n_cell,)
     from jax.experimental.pallas import tpu as pltpu
     with pltpu.force_tpu_interpret_mode():
         outs = coal_pallas(
             cfg, 4, 2.5, 7, jnp.asarray([1500.0], jnp.float32),
             f32(n), f32(rw2), f32(rd3), f32(kpa), f32(n * 0), f32(n * 0),
-            ones * 285.0, ones * 90000.0, ones * 1.1, ones * 1.8e-5, ones,
+            onec * 285.0, onec * 90000.0, onec * 1.1, onec * 1.8e-5, onec,
             interpret=False)
     n2, rw2_2, rd3_2, kpa2, vt2 = (np.float64(np.asarray(o))
                                    for o in outs[:5])
