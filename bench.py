@@ -39,13 +39,21 @@ SSTP_COAL = 10
 N_STEPS = 100
 
 
-def run_engine(model, engine, n_steps):
+def run_engine(model, engine, n_steps, reps=3):
+    """Best of ``reps`` timed runs: the shared TPU behind the tunnel shows
+    ~2x run-to-run variance, and the minimum is the machine's capability."""
     model.run_device_lgrngn(n_steps, engine=engine)  # compile + warm
     print(f"# warmup done ({engine})", file=sys.stderr, flush=True)
-    t0 = time.perf_counter()
-    model.run_device_lgrngn(n_steps, engine=engine)
-    jax.block_until_ready(model.prtcls.state.th)
-    return time.perf_counter() - t0
+    best = float("inf")
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        model.run_device_lgrngn(n_steps, engine=engine)
+        jax.block_until_ready(model.prtcls.state.th)
+        elapsed = time.perf_counter() - t0
+        print(f"# rep: {elapsed/n_steps*1e3:.2f} ms/step",
+              file=sys.stderr, flush=True)
+        best = min(best, elapsed)
+    return best
 
 
 def main():
