@@ -49,6 +49,30 @@ def cell_dv(cfg: StaticConfig) -> np.ndarray:
     return (wx[:, None, None] * wy[None, :, None] * wz[None, None, :]).ravel()
 
 
+def conc_factor_cells(cfg: StaticConfig, oi) -> np.ndarray | None:
+    """Per-cell aerosol concentration factor from the per-level profile
+    ``opts_init.aerosol_conc_factor`` (reference opts_init.hpp:140;
+    applied by k = cell % nz in particles_impl_init_count_num.ipp:65-70 and
+    particles_impl_init_n.ipp:100-110).  Returns (n_cell,) or None."""
+    factor = np.asarray(getattr(oi, "aerosol_conc_factor", []) or [],
+                        dtype=float)
+    if factor.size == 0:
+        return None
+    # sanity checks mirror init_sanity_check.ipp:119-127
+    if cfg.n_dims < 2:
+        raise RuntimeError(
+            "libcloudph++: aerosol_conc_factor can only be used in 2D and 3D")
+    if factor.size != cfg.nz:
+        raise RuntimeError(
+            "libcloudph++: aerosol_conc_factor size needs to be either 0 "
+            "or nz")
+    if not oi.aerosol_independent_of_rhod:
+        raise RuntimeError(
+            "libcloudph++: aerosol_conc_factor can only be used if "
+            "aerosol_independent_of_rhod==true")
+    return factor[np.arange(cfg.n_cell) % cfg.nz]
+
+
 def _eval_distro(fun, lnrd):
     """Evaluate a user distribution over an array of ln(rd).
 
@@ -126,6 +150,9 @@ def _sample_const_multi(fun, log_lo, log_hi, multi, oi, cfg, dv_host,
     n_in_cell = conc * np.asarray(dv_host, float)
     if not oi.aerosol_independent_of_rhod:
         n_in_cell = n_in_cell * np.asarray(rhod_host) / c.rho_stp
+    factor = conc_factor_cells(cfg, oi)
+    if factor is not None:
+        n_in_cell = n_in_cell * factor
     counts = np.floor(n_in_cell / multi + 0.5).astype(np.int64)
     total = int(counts.sum())
     if total == 0:
@@ -194,6 +221,9 @@ def init_SD(cfg: StaticConfig, oi, state: State, rng: np.random.Generator,
             n_of = _eval_distro(fun, lnrd) * mult
             if not oi.aerosol_independent_of_rhod:
                 n_of *= np.asarray(rhod_host)[:, None] / c.rho_stp
+            factor = conc_factor_cells(cfg, oi)
+            if factor is not None:
+                n_of = n_of * factor[:, None]
             if cfg.n_dims > 0:
                 n_of *= dv_host[:, None] / (cfg.dx * cfg.dy * cfg.dz)
             multiplicity = np.floor(n_of + 0.5)
@@ -243,6 +273,9 @@ def init_SD(cfg: StaticConfig, oi, state: State, rng: np.random.Generator,
                 number = conc * dv_host
                 if not oi.aerosol_independent_of_rhod:
                     number = number * np.asarray(rhod_host) / c.rho_stp
+                factor = conc_factor_cells(cfg, oi)
+                if factor is not None:
+                    number = number * factor
                 # per-cell multiplicity, repeated over the sd_count slots
                 multiplicity = np.floor(number / sd_count + 0.5)
                 total = n_cell * sd_count

@@ -31,6 +31,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..common import constants as c
+from . import init as init_host
 from .state import State, StaticConfig
 
 f32 = np.float32
@@ -195,6 +196,11 @@ def init_SD_reference(cfg: StaticConfig, oi, state: State, seed: int,
         val = f32(mult * np.asarray(fun(lnrd_back), f32))
         if not oi.aerosol_independent_of_rhod:
             val = f32(val * rhod32[ijk] / rho_stp32)
+        factor = init_host.conc_factor_cells(cfg, oi)
+        if factor is not None:
+            # particles_impl_init_n.ipp:100-110 (between the STP correction
+            # and the cell-volume adjustment)
+            val = f32(val * factor.astype(f32)[ijk])
         if cfg.n_dims > 0:
             val = f32(val * dv32[ijk] / f32(f32(cfg.dx) * f32(cfg.dy)
                                             * f32(cfg.dz)))

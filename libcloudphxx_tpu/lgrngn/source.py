@@ -25,7 +25,8 @@ from .state import State, StaticConfig
 
 def _box_cells(cfg: StaticConfig, oi):
     """Cells inside the source box, rounded to cell boundaries
-    (reference opts_init.hpp:156-158)."""
+    (reference opts_init.hpp:156-158; in 3-D the box is bounded in y too
+    by src_y0/src_y1)."""
     i0 = int(np.floor(oi.src_x0 / cfg.dx))
     i1 = max(i0 + 1, int(np.ceil(oi.src_x1 / cfg.dx)))
     if cfg.n_dims > 1:
@@ -33,11 +34,18 @@ def _box_cells(cfg: StaticConfig, oi):
         k1 = max(k0 + 1, int(np.ceil(oi.src_z1 / cfg.dz)))
     else:
         k0, k1 = 0, 1
+    if cfg.ny > 1:
+        j0 = int(np.floor(oi.src_y0 / cfg.dy))
+        j1 = max(j0 + 1, int(np.ceil(oi.src_y1 / cfg.dy)))
+    else:
+        j0, j1 = 0, 1
     cells = []
     nz = max(1, cfg.nz)
+    ny = max(1, cfg.ny)
     for i in range(i0, min(i1, cfg.nx)):
-        for k in range(k0, min(k1, nz)):
-            cells.append(i * nz + k)
+        for j in range(j0, min(j1, ny)):
+            for k in range(k0, min(k1, nz)):
+                cells.append((i * ny + j) * nz + k)
     return np.asarray(cells, dtype=np.int64)
 
 
@@ -146,12 +154,16 @@ class StateEngine:
 
 def _positions_in_cells(cfg: StaticConfig, cells, rng):
     nz = max(1, cfg.nz)
-    i = cells // nz
+    ny = max(1, cfg.ny)
+    i = cells // (nz * ny)
+    j = (cells // nz) % ny
     k = cells % nz
     x = (i + rng.random(cells.size)) * cfg.dx
+    y = (j + rng.random(cells.size)) * cfg.dy if cfg.ny > 1 \
+        else np.zeros(cells.size)
     z = (k + rng.random(cells.size)) * cfg.dz if cfg.n_dims > 1 \
         else np.zeros(cells.size)
-    return x, z
+    return x, y, z
 
 
 def _equilibrium_rw2(eng, cells, rd3, kappa, RH_max):
@@ -191,6 +203,11 @@ def src_simple_distros(cfg: StaticConfig, oi, eng, src_dry_distros, dt, rng,
         n_of = init_mod._eval_distro(fun, lnrd) * mult
         if not oi.aerosol_independent_of_rhod:
             n_of *= rhod_host[cells][:, None] / c.rho_stp
+        conc_fac = init_mod.conc_factor_cells(cfg, oi)
+        if conc_fac is not None:
+            # the aerosol_conc_factor profile scales source multiplicities
+            # too (init_n.ipp:100-110, shared by src_dry_distros_simple)
+            n_of = n_of * conc_fac[cells][:, None]
         multiplicity = np.floor(n_of + 0.5)
 
         cell_rep = np.repeat(cells, count)
@@ -198,13 +215,13 @@ def src_simple_distros(cfg: StaticConfig, oi, eng, src_dry_distros, dt, rng,
         cell_rep = cell_rep[keep]
         lnrd_f = lnrd.ravel()[keep]
         mult_f = multiplicity.ravel()[keep]
-        x, z = _positions_in_cells(cfg, cell_rep, rng)
+        x, y, z = _positions_in_cells(cfg, cell_rep, rng)
         rd3 = np.exp(3.0 * lnrd_f)
         rw2 = _equilibrium_rw2(eng, cell_rep, rd3, kappa, RH_max)
         new = dict(
             n=mult_f, rd3=rd3, rw2=rw2,
             kpa=np.full(mult_f.size, kappa),
-            x=x, z=z, y=np.zeros(mult_f.size),
+            x=x, z=z, y=y,
             vt=np.zeros(mult_f.size),
             ijk=cell_rep.astype(np.int32),
         )
@@ -239,9 +256,12 @@ def src_matching_distros(cfg: StaticConfig, oi, eng, src_dry_distros, dt,
 
         new_lists = {k: [] for k in
                      ("n", "rd3", "rw2_cell", "kpa", "cell")}
+        conc_fac = init_mod.conc_factor_cells(cfg, oi)
         for cell in cells:
             factor = (1.0 if oi.aerosol_independent_of_rhod
                       else rhod_host[cell] / c.rho_stp)
+            if conc_fac is not None:
+                factor = factor * conc_fac[cell]
             target = np.floor(n_per_bin_stp * factor + 0.5)
             # existing SDs of this kappa in this cell
             here = np.nonzero(
@@ -268,12 +288,12 @@ def src_matching_distros(cfg: StaticConfig, oi, eng, src_dry_distros, dt,
         if new_lists["n"]:
             cell_rep = np.asarray(new_lists["cell"], dtype=np.int64)
             rd3 = np.asarray(new_lists["rd3"])
-            x, z = _positions_in_cells(cfg, cell_rep, rng)
+            x, y, z = _positions_in_cells(cfg, cell_rep, rng)
             rw2 = _equilibrium_rw2(eng, cell_rep, rd3, kappa, RH_max)
             new = dict(
                 n=np.asarray(new_lists["n"]), rd3=rd3, rw2=rw2,
                 kpa=np.asarray(new_lists["kpa"]),
-                x=x, z=z, y=np.zeros(rd3.size),
+                x=x, z=z, y=y,
                 vt=np.zeros(rd3.size),
                 ijk=cell_rep.astype(np.int32),
             )
@@ -302,17 +322,20 @@ def src_dry_sizes(cfg: StaticConfig, oi, eng, src_sizes, dt, rng, RH_max):
                 number = conc_per_s * dt_eff * dv
                 if not oi.aerosol_independent_of_rhod:
                     number *= rhod_host[cell] / c.rho_stp
+                conc_fac = init_mod.conc_factor_cells(cfg, oi)
+                if conc_fac is not None:
+                    number *= conc_fac[cell]
                 multiplicity = math.floor(number / sd_count + 0.5)
                 if multiplicity <= 0:
                     continue
                 cell_rep = np.full(sd_count, cell, dtype=np.int64)
                 rd3 = np.full(sd_count, radius**3)
-                x, z = _positions_in_cells(cfg, cell_rep, rng)
+                x, y, z = _positions_in_cells(cfg, cell_rep, rng)
                 rw2 = _equilibrium_rw2(eng, cell_rep, rd3, kappa, RH_max)
                 new = dict(
                     n=np.full(sd_count, float(multiplicity)), rd3=rd3,
                     rw2=rw2, kpa=np.full(sd_count, kappa),
-                    x=x, z=z, y=np.zeros(sd_count),
+                    x=x, z=z, y=y,
                     vt=np.zeros(sd_count),
                     ijk=cell_rep.astype(np.int32),
                 )

@@ -305,3 +305,95 @@ def test_ccn_relaxation():
     # upper cells untouched
     assert mom0_after[1] == pytest.approx(mom0_before[1])
     assert mom0_after[3] == pytest.approx(mom0_before[3])
+
+
+def test_aerosol_conc_factor_profile():
+    """aerosol_conc_factor scales the initial SD multiplicity per z level
+    (reference particles_impl_init_n.ipp:100-110, init_count_num.ipp:65-70;
+    requires aerosol_independent_of_rhod, init_sanity_check.ipp:119-127)."""
+    factor = [1.0, 0.5, 2.0, 0.0, 1.0]
+    oi = make_opts_init(aerosol_independent_of_rhod=True,
+                        aerosol_conc_factor=factor, sd_conc=64,
+                        n_sd_max=64 * NX * NZ)
+    rhod, th, rv = grid_fields()
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    prtcls.init(th, rv, rhod)
+    prtcls.diag_all()
+    prtcls.diag_wet_mom(0)
+    mom0 = prtcls.outbuf().reshape(NX, NZ)
+
+    oi2 = make_opts_init(aerosol_independent_of_rhod=True, sd_conc=64,
+                         n_sd_max=64 * NX * NZ)
+    prtcls2 = lgrngn.factory(lgrngn.backend_t.serial, oi2)
+    prtcls2.init(th, rv, rhod)
+    prtcls2.diag_all()
+    prtcls2.diag_wet_mom(0)
+    base = prtcls2.outbuf().reshape(NX, NZ)
+
+    # per-level concentration ratio tracks the profile (multiplicity
+    # rounding gives a few-percent sampling scatter at sd_conc=64)
+    for k, f in enumerate(factor):
+        if f == 0.0:
+            assert np.all(mom0[:, k] == 0.0)
+        else:
+            ratio = mom0[:, k].mean() / base[:, k].mean()
+            assert abs(ratio - f) < 0.05 * max(f, 1.0), (k, f, ratio)
+
+
+def test_aerosol_conc_factor_sanity():
+    rhod, th, rv = grid_fields()
+    # wrong size
+    oi = make_opts_init(aerosol_independent_of_rhod=True,
+                        aerosol_conc_factor=[1.0, 2.0])
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    with pytest.raises(RuntimeError, match="aerosol_conc_factor size"):
+        prtcls.init(th, rv, rhod)
+    # requires aerosol_independent_of_rhod
+    oi = make_opts_init(aerosol_conc_factor=[1.0] * NZ)
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    with pytest.raises(RuntimeError, match="independent_of_rhod"):
+        prtcls.init(th, rv, rhod)
+
+
+def test_source_y_bounds_3d():
+    """src_y0/src_y1 bound the source box along y in 3-D
+    (reference opts_init.hpp:158)."""
+    from math import exp, log, sqrt, pi as PI
+
+    def lognormal_src(lnr):
+        return 60e4 * exp(-(lnr - log(0.05e-6))**2 / 2 / log(1.4)**2) \
+            / log(1.4) / sqrt(2 * PI)
+
+    n = 2
+    oi = lgrngn.opts_init_t()
+    oi.dt = 1
+    oi.nx = oi.ny = oi.nz = n
+    oi.dx = oi.dy = oi.dz = 1.0
+    oi.x1 = oi.y1 = oi.z1 = float(n)
+    oi.coal_switch = oi.sedi_switch = False
+    oi.dry_distros = {(0.61, 0.0): lognormal}
+    oi.sd_conc = 32
+    oi.n_sd_max = 32 * n**3 + 16 * n**3
+    oi.src_type = lgrngn.src_t.simple
+    oi.src_x0, oi.src_x1 = 0.0, float(n)
+    oi.src_z0, oi.src_z1 = 0.0, float(n)
+    oi.src_y0, oi.src_y1 = 0.0, 1.0          # first y slab only
+
+    opts = lgrngn.opts_t()
+    opts.adve = opts.sedi = opts.coal = opts.cond = opts.chem_dsl = False
+    opts.src = True
+    opts.src_dry_distros = {(0.61, 0.0): (lognormal_src, 8, 1)}
+
+    rhod = np.ones((n, n, n))
+    th = 300.0 * np.ones((n, n, n))
+    rv = 0.01 * np.ones((n, n, n))
+    prtcls = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    prtcls.init(th, rv, rhod)
+    prtcls.step_sync(opts, th, rv, rhod)
+    prtcls.step_async(opts)
+    prtcls.diag_all()
+    prtcls.diag_sd_conc()
+    sd = prtcls.outbuf().reshape(n, n, n)
+    # SDs added only in j == 0 cells ((i*ny + j)*nz + k ravel)
+    assert np.all(sd[:, 0, :] == 32 + 8)
+    assert np.all(sd[:, 1, :] == 32)
