@@ -579,20 +579,120 @@ def adve_sedi_bcnd(cfg: StaticConfig, d: DenseState, dt, do_sedi: bool):
     return dataclasses.replace(d, x=x, z=z, n=n, puddle=puddle)
 
 
+def _rebin_global(cfg: StaticConfig, d: DenseState, tgt) -> DenseState:
+    """Global-sort redistribution (the round-3 rebin): one multi-operand
+    sort over the whole population + 8 permuted gathers.  Handles arbitrary
+    cell jumps; ~145 ms/step at bench shape on the v5e — kept as the exact
+    fallback for SDs that move more than one cell per axis per step."""
+    n_cell, cap = d.n.shape
+    flat = tuple(getattr(d, a).reshape(-1) for a in _ATTRS)
+    cell = jnp.where(flat[0] > 0, tgt.reshape(-1), n_cell).astype(jnp.int32)
+    dense_vals, overflow = _distribute(cfg, cap, cell, flat)
+    upd = dict(zip(_ATTRS, dense_vals))
+    return dataclasses.replace(d, overflow=d.overflow + overflow, **upd)
+
+
+def _shift_merge(planes, key, match, shift):
+    """Candidate segments for a row-shifted redistribution: for each shift s
+    in ``shifts``, destination row r sees the SDs of source row r-s (mod
+    n_cell) whose per-SD target row (``match`` plane) equals r.  Returns the
+    (n_cell, len(shifts)*cap) concatenated planes + sort key (0 = alive
+    candidate, 1 = filler), lanes masked so a candidate appears exactly
+    once."""
+    segs, keys = [], []
+    for s in shift:
+        m = match if s == 0 else jnp.roll(match, s, axis=0)
+        ok = (m == jax.lax.broadcasted_iota(jnp.int32, m.shape, 0)) \
+            & (key if s == 0 else jnp.roll(key, s, axis=0))
+        segs.append(tuple(p if s == 0 else jnp.roll(p, s, axis=0)
+                          for p in planes))
+        keys.append(ok)
+    cat = lambda xs: jnp.concatenate(xs, axis=1)
+    merged = tuple(cat([seg[i] for seg in segs])
+                   for i in range(len(planes)))
+    alive = cat(keys)
+    # zero out non-candidates so filler lanes carry no stale attributes
+    merged = tuple(jnp.where(alive, p, jnp.zeros_like(p)) for p in merged)
+    return merged, jnp.where(alive, 0, 1).astype(jnp.int32)
+
+
+def _rebin_neighbor(cfg: StaticConfig, d: DenseState, tgt) -> DenseState:
+    """CFL-bounded redistribution: under |courant| <= 1 (and sedimentation
+    < dz per dt) an SD moves at most ONE cell per axis per STEP, so
+    post-transport re-binning only needs adjacent-row exchange — two
+    roll+mask+lane-sort passes (z axis, then x axis) instead of the global
+    740k-element sort + 8 random-index gathers.
+
+    Reference analog: the sorted-flag discipline around hskpng_ijk
+    (particles_impl_hskpng_ijk.ipp:86-253, particles_impl.ipp:153) — the
+    reference re-sorts lazily; here the dense layout re-bins structurally.
+
+    Row index is i*nz + k: z-neighbours are row±1 (never wrapping for alive
+    SDs — walls remove/wrap positions first), x-neighbours are row±nz with
+    jnp.roll's mod-n_cell wraparound implementing x-periodicity exactly."""
+    n_cell, cap = d.n.shape
+    nz = cfg.nz
+    planes = tuple(getattr(d, a) for a in _ATTRS)
+    alive = d.n > 0
+    rows = jax.lax.broadcasted_iota(jnp.int32, tgt.shape, 0)
+    # phase-z target: fix k first, keep own i (tgt and rows share i here
+    # only when the SD moves within its column; in general
+    # ztgt = rows - k + new_k)
+    ztgt = rows - (rows % nz) + (tgt % nz)
+
+    n_alive0 = jnp.sum(jnp.where(alive, 1, 0))
+
+    # --- phase z: shifts {0, +1, -1}
+    merged, key = _shift_merge(planes + (tgt,), alive, ztgt, (0, 1, -1))
+    sorted_ = jax.lax.sort((key,) + merged, dimension=1, num_keys=1)
+    planes = tuple(p[:, :cap] for p in sorted_[1:1 + len(_ATTRS)])
+    tgt = sorted_[1 + len(_ATTRS)][:, :cap]
+    alive = sorted_[0][:, :cap] == 0
+    planes = (jnp.where(alive, planes[0], 0.0),) + planes[1:]
+
+    # --- phase x: shifts {0, +nz, -nz} (mod n_cell == x-periodic)
+    merged, key = _shift_merge(planes, alive, tgt, (0, nz, -nz))
+    sorted_ = jax.lax.sort((key,) + merged, dimension=1, num_keys=1)
+    planes = tuple(p[:, :cap] for p in sorted_[1:])
+    alive = sorted_[0][:, :cap] == 0
+    planes = (jnp.where(alive, planes[0], 0.0),) + planes[1:]
+
+    n_alive1 = jnp.sum(jnp.where(alive, 1, 0))
+    upd = dict(zip(_ATTRS, planes))
+    return dataclasses.replace(
+        d, overflow=d.overflow + (n_alive0 - n_alive1), **upd)
+
+
 def rebin(cfg: StaticConfig, d: DenseState) -> DenseState:
     """Redistribute SDs to the rows of their (possibly new) cells after
     transport — the post_copy hskpng_ijk equivalent (post_copy.ipp:18-36).
-    One global multi-operand sort + one combined scatter."""
+
+    Default: the CFL-bounded neighbour exchange (_rebin_neighbor); SDs that
+    moved more than one cell on some axis (possible only when sedimentation
+    covers > dz in one dt) trigger the exact global-sort path via lax.cond.
+    LIBCLOUD_DENSE_REBIN=global forces the old path for A/B."""
+    import os
     n_cell, cap = d.n.shape
-    flat = {a: getattr(d, a).reshape(-1) for a in _ATTRS}
-    alive = flat["n"] > 0
-    cell = hskpng.ijk_of_xyz(cfg, flat["x"], flat["x"], flat["z"])
-    cell = jnp.where(alive, cell, n_cell).astype(jnp.int32)
-    dense_vals, overflow = _distribute(
-        cfg, cap, cell, tuple(flat[a] for a in _ATTRS))
-    upd = dict(zip(_ATTRS, dense_vals))
-    return dataclasses.replace(
-        d, overflow=d.overflow + overflow, **upd)
+    nz, nx = cfg.nz, cfg.nx
+    alive = d.n > 0
+    tgt = hskpng.ijk_of_xyz(cfg, d.x, d.x, d.z).astype(jnp.int32)
+    tgt = jnp.where(alive, tgt, n_cell)  # dead slots match no row
+
+    if os.environ.get("LIBCLOUD_DENSE_REBIN", "neighbor") == "global" \
+            or nx < 3 or nz < 3:
+        # tiny grids: roll shifts alias (|shift| >= n_cell/2) — stay global
+        return _rebin_global(cfg, d, tgt)
+
+    rows = jax.lax.broadcasted_iota(jnp.int32, tgt.shape, 0)
+    dk = jnp.abs(tgt % nz - rows % nz)
+    di = (tgt // nz - rows // nz) % nx
+    covered = (dk <= 1) & ((di == 0) | (di == 1) | (di == nx - 1))
+    all_covered = jnp.all(jnp.where(alive, covered, True))
+    return jax.lax.cond(
+        all_covered,
+        lambda dd: _rebin_neighbor(cfg, dd, tgt),
+        lambda dd: _rebin_global(cfg, dd, tgt),
+        d)
 
 
 def step_async(cfg: StaticConfig, d: DenseState, params, dt,

@@ -183,3 +183,58 @@ def test_full_run_dense_with_coal_physical():
     m.prtcls.diag_wet_mom(3)
     rc = m.prtcls.outbuf()
     assert np.isfinite(rc).all()
+
+
+def test_rebin_neighbor_matches_global():
+    """The CFL-bounded neighbour rebin must redistribute exactly like the
+    global-sort rebin (same per-row multisets) after a real transport step,
+    including x-periodic wraparound rows."""
+    m = _model(nx=12, nz=10, sd_conc=24)
+    p = m.prtcls
+    cfg = p.cfg
+    cap = m.dense_capacity()
+    d = dense_mod.pack(cfg, p.state, cap)
+    # give the population spread-out velocities: a transport step with the
+    # model's courant field plus sedimentation
+    # bounded vt: advection (|C| < 0.6) + sedi (< 0.4 dz) < one cell/step,
+    # the CFL regime the neighbour path covers (direct call skips the
+    # production fallback guard)
+    d = dataclasses.replace(
+        d, vt=jax.random.uniform(jax.random.PRNGKey(0), d.vt.shape)
+        * 0.4 * cfg.dz)
+    d = dense_mod.adve_sedi_bcnd(cfg, d, m.setup.dt, True)
+
+    tgt = dense_mod.hskpng.ijk_of_xyz(cfg, d.x, d.x, d.z).astype(jnp.int32)
+    tgt = jnp.where(d.n > 0, tgt, cfg.n_cell)
+    g = dense_mod._rebin_global(cfg, d, tgt)
+    nb = dense_mod._rebin_neighbor(cfg, d, tgt)
+    np.testing.assert_array_equal(
+        _dense_multiset(g, cfg, "rw2", "rd3", "kpa", "x", "z"),
+        _dense_multiset(nb, cfg, "rw2", "rd3", "kpa", "x", "z"))
+    assert float(nb.overflow) == float(g.overflow)
+
+    # rows actually changed (the step moved SDs between cells)
+    assert not np.array_equal(np.asarray(d.n), np.asarray(nb.n))
+
+
+def test_rebin_fallback_on_long_jump():
+    """An SD moving more than one cell per axis (huge vt) must still land in
+    the right row — the lax.cond fallback to the global path."""
+    m = _model(nx=12, nz=10, sd_conc=8)
+    p = m.prtcls
+    cfg = p.cfg
+    cap = m.dense_capacity()
+    d = dense_mod.pack(cfg, p.state, cap)
+    d = dataclasses.replace(
+        d, vt=jnp.full(d.vt.shape, 3.5 * cfg.dz))  # 3-4 cells down per step
+    d = dense_mod.adve_sedi_bcnd(cfg, d, m.setup.dt, True)
+    out = dense_mod.rebin(cfg, d)
+    # every alive SD sits in the row of its position
+    n = np.asarray(out.n).reshape(-1)
+    alive = n > 0
+    rows = np.repeat(np.arange(cfg.n_cell), cap)
+    x = np.asarray(out.x).reshape(-1)
+    z = np.asarray(out.z).reshape(-1)
+    want = np.asarray(dense_mod.hskpng.ijk_of_xyz(
+        cfg, jnp.asarray(x), jnp.asarray(x), jnp.asarray(z)))
+    np.testing.assert_array_equal(rows[alive], want[alive])
