@@ -523,9 +523,11 @@ def _row_courants(cfg: StaticConfig, d: DenseState):
     return C_l, C_r, C_b, C_a
 
 
-def adve_sedi_bcnd(cfg: StaticConfig, d: DenseState, dt, do_sedi: bool):
-    """Advection + sedimentation + walls/puddle in one pass
-    (adve.ipp:28-93 implicit/euler, sedi.ipp:13-24, bcnd.ipp:214-365).
+def adve_sedi_bcnd(cfg: StaticConfig, d: DenseState, dt, do_sedi: bool,
+                   do_adve: bool = True, do_subs: bool = False, w_LS=None):
+    """Advection + sedimentation + subsidence + walls/puddle in one pass
+    (adve.ipp:28-93 implicit/euler, sedi.ipp:13-24, subs.ipp:39-51,
+    bcnd.ipp:214-365).
 
     Cell->SD courant reads are row broadcasts of sliced staggered fields."""
     n_cell, cap = d.n.shape
@@ -537,7 +539,9 @@ def adve_sedi_bcnd(cfg: StaticConfig, d: DenseState, dt, do_sedi: bool):
     C_l, C_r, C_b, C_a = _row_courants(cfg, d)
     row = lambda a: a[:, None]
 
-    if as_t(cfg.adve_scheme) == as_t.implicit:
+    if not do_adve:
+        x, z = d.x, d.z
+    elif as_t(cfg.adve_scheme) == as_t.implicit:
         dCx = row(C_r - C_l)
         x = (d.x + cfg.dx * (row(C_l) - i_row * dCx)) / (1.0 - dCx)
         dCz = row(C_a - C_b)
@@ -550,6 +554,9 @@ def adve_sedi_bcnd(cfg: StaticConfig, d: DenseState, dt, do_sedi: bool):
 
     if do_sedi:
         z = z - dt * d.vt
+    if do_subs and w_LS is not None:
+        # w_LS positive-downwards profile by k level (subs.ipp:39-51)
+        z = z - dt * w_LS[idx % nz][:, None]
 
     n = d.n
     puddle = d.puddle
@@ -695,19 +702,88 @@ def rebin(cfg: StaticConfig, d: DenseState) -> DenseState:
         d)
 
 
+def resident_ok(cfg: StaticConfig, d: DenseState):
+    """Can the whole microphysics step run as ONE Pallas kernel
+    (ops/pallas_step.step_resident)?  Covers the formula-based collision
+    kernels and terminal velocities at f32 on TPU; table-kernel,
+    const-multi and f64-parity configs stay on the XLA path."""
+    import os
+    # opt-in while the chained-run row-overflow at bench shape is being
+    # root-caused (single-step equivalence is gated and exact; see
+    # tests/test_pallas_step.py + the r4 TPU debug notes)
+    if os.environ.get("LIBCLOUD_RESIDENT", "0") != "1":
+        return False
+    cap = d.n.shape[1]
+    if cap & (cap - 1):
+        return False
+    if kernel_t(cfg.kernel) not in (kernel_t.golovin, kernel_t.geometric,
+                                    kernel_t.long):
+        return False
+    if cfg.pure_const_multi:
+        return False
+    if d.n.dtype != jnp.float32:
+        return False
+    # on-core PRNG has no CPU lowering — TPU only
+    return jax.default_backend() == "tpu"
+
+
+def step_fused(cfg: StaticConfig, d: DenseState, th_adv, rv_adv, params, dt,
+               RH_max, sstp_coal: int, do_coal: bool,
+               do_sedi: bool):
+    """The whole microphysics step — condensation substeps, coalescence
+    substeps, advection/sedimentation/walls — as ONE resident Pallas kernel
+    (ops/pallas_step), followed by the cross-row re-binning in XLA.
+
+    Same phase order as step_cond + step_async (reference
+    particles_step.ipp:161-494); returns (DenseState, th, rv)."""
+    from ..ops.pallas_step import step_resident
+    from .state import OUT_DRY_VOL, OUT_LIQ_NUM, OUT_LIQ_VOL, OUT_PRTCL_NUM
+
+    key, sub = jax.random.split(d.key)
+    seed = jax.random.randint(sub, (), 0, jnp.int32(2**31 - 1))
+    lam_D, lam_K = hskpng.hskpng_mfp(d.T, d.p)  # stale, see step_cond
+    C_l, C_r, C_b, C_a = _row_courants(cfg, d)
+
+    (n, rw2, rd3, kpa, vt, x, z, th, rv, T, p, RH, eta,
+     pud4) = step_resident(
+        cfg, int(cfg.sstp_cond), int(sstp_coal), float(dt), float(RH_max),
+        bool(do_coal), bool(do_sedi), False, seed, params,
+        d.n, d.rw2, d.rd3, d.kpa, d.x, d.z,
+        th_adv, rv_adv, d.sstp_tmp_th, d.sstp_tmp_rv, d.rhod, d.dv,
+        lam_D, lam_K, C_l, C_r, C_b, C_a, jnp.zeros_like(d.rhod))
+
+    puddle = d.puddle
+    pud4 = pud4.astype(puddle.dtype)
+    puddle = puddle.at[OUT_LIQ_VOL].add(pud4[0])
+    puddle = puddle.at[OUT_DRY_VOL].add(pud4[1])
+    puddle = puddle.at[OUT_LIQ_NUM].add(pud4[2])
+    puddle = puddle.at[OUT_PRTCL_NUM].add(pud4[3])
+
+    d = dataclasses.replace(
+        d, n=n, rw2=rw2, rd3=rd3, kpa=kpa, vt=vt, x=x, z=z,
+        T=T, p=p, RH=RH, eta=eta,
+        sstp_tmp_th=th, sstp_tmp_rv=rv,
+        key=key, puddle=puddle)
+    return rebin(cfg, d), th, rv
+
+
 def step_async(cfg: StaticConfig, d: DenseState, params, dt,
-               sstp_coal: int, do_coal: bool, do_sedi: bool) -> DenseState:
+               sstp_coal: int, do_coal: bool, do_sedi: bool,
+               do_adve: bool = True, do_subs: bool = False,
+               w_LS=None) -> DenseState:
     """The transport-phase pipeline on the dense layout (reference
     particles_step.ipp:339-494): vterm refresh -> coalescence -> advection
-    -> sedimentation -> boundaries/puddle -> re-binning."""
+    -> sedimentation -> subsidence -> boundaries/puddle -> re-binning."""
     row = lambda a: a[:, None]
     vt = vterm_mod.vt_of(cfg, d.rw2, row(d.T), row(d.p), row(d.rhod),
                          row(d.eta))
     d = dataclasses.replace(d, vt=vt)
     if do_coal:
         d = coal(cfg, d, params, dt, sstp_coal)
-    d = adve_sedi_bcnd(cfg, d, dt, do_sedi)
-    return rebin(cfg, d)
+    if do_adve or do_sedi or do_subs:
+        d = adve_sedi_bcnd(cfg, d, dt, do_sedi, do_adve, do_subs, w_LS)
+        d = rebin(cfg, d)
+    return d
 
 
 # --------------------------------------------------------------- diag ----

@@ -390,9 +390,10 @@ class particles_t:
         if not oi.no_ccn_at_init:
             if getattr(oi, "reference_rng_init", False):
                 from . import refinit
+                dv0 = (1.0 / np.asarray(rhod) if self.cfg.n_dims == 0
+                       else init_mod.cell_dv(self.cfg))
                 st = refinit.init_SD_reference(
-                    self.cfg, oi, st, seed, rhod,
-                    init_mod.cell_dv(self.cfg))
+                    self.cfg, oi, st, seed, rhod, dv0)
             else:
                 rng = np.random.default_rng(seed)
                 st = init_mod.init_SD(self.cfg, oi, st, rng, rhod)
@@ -1001,11 +1002,24 @@ def factory(backend: backend_t, opts_init: opts_init_t) -> particles_t:
     """Runtime backend dispatch (reference src/lib.cpp:12-44).  Single-device
     backends map onto one JAX execution path; multi_CUDA (or
     opts_init.dev_count > 1) selects the device-mesh front-end
-    (reference lib.cpp:30-38 + multi_gpu_impl.ipp)."""
+    (reference lib.cpp:30-38 + multi_gpu_impl.ipp).
+
+    Engine auto-selection: configurations the dense cell-major engine
+    covers (2-D, percell substepping, warm physics — dense._supported) get
+    the fast path on TPU automatically; LIBCLOUD_ENGINE=dense forces it on
+    any backend (used by the CPU conformance tests), =flat disables it."""
+    import os
     dev_count = int(getattr(opts_init, "dev_count", 0))
     if dev_count > 1 or (backend == backend_t.multi_CUDA
                          and len(jax.devices()) > 1):
         from ..parallel.multi import particles_multi_t
         return particles_multi_t(backend, opts_init,
                                  n_devices=dev_count or None)
+    eng = os.environ.get("LIBCLOUD_ENGINE", "auto")
+    if eng in ("auto", "dense") and (
+            eng == "dense" or jax.default_backend() == "tpu"):
+        from .dense_front import dense_capable, particles_dense_t
+        probe = particles_dense_t(backend, opts_init)
+        if dense_capable(probe.cfg):
+            return probe
     return particles_t(backend, opts_init)

@@ -142,10 +142,14 @@ def init_SD_reference(cfg: StaticConfig, oi, state: State, seed: int,
         raise ValueError("reference init replica supports sd_conc mode only")
 
     n_cell = cfg.n_cell
-    cell_vol = cfg.dx * cfg.dy * cfg.dz
     rng = MT19937U01(seed)
     rhod32 = np.asarray(rhod_host, f32)
     dv32 = np.asarray(dv_host, f32)
+    # 0-D parcel: the reference's dv is 1 kg of dry air (dv = 1/rhod,
+    # hskpng_Tpr.ipp:295-303, run before init_SD) and the distro-analysis
+    # multiplier uses dv[0] (init_dist_analysis.ipp:27-33)
+    cell_vol = (float(dv32[0]) if cfg.n_dims == 0
+                else cfg.dx * cfg.dy * cfg.dz)
     rho_stp32 = f32(c.rho_stp)
 
     def key_parts(key):
@@ -193,7 +197,7 @@ def init_SD_reference(cfg: StaticConfig, oi, state: State, seed: int,
         # --- multiplicities (init_n.ipp:47-137; lnrd recomputed from rd3 as
         # real_t(log(x) / 3.) — logf widened, divided in double, cast back)
         lnrd_back = f32(logf(rd3).astype(np.float64) / 3.0)
-        val = f32(mult * np.asarray(fun(lnrd_back), f32))
+        val = f32(mult * init_host._eval_distro(fun, lnrd_back).astype(f32))
         if not oi.aerosol_independent_of_rhod:
             val = f32(val * rhod32[ijk] / rho_stp32)
         factor = init_host.conc_factor_cells(cfg, oi)

@@ -562,6 +562,22 @@ class Kinematic2D:
         # "embed" keeps the kernel inside the fused program (relies on the
         # pallas_call input/output aliasing to avoid the layout copies)
 
+        # kernel-resident step: cond+coal+transport as ONE pallas_call
+        # (ops/pallas_step) with only MPDATA and the re-binning in XLA
+        d0 = getattr(self, "_dense_probe", None)
+        if d0 is not None and dense_mod.resident_ok(cfg, d0):
+            def f(carry):
+                d, th, rv = carry
+                th = mpdata.advect(th, gc_x, gc_z, G, n_iters=n_iters,
+                                   fct=fct)
+                rv = mpdata.advect(rv, gc_x, gc_z, G, n_iters=n_iters,
+                                   fct=fct)
+                d, thc, rvc = dense_mod.step_fused(
+                    cfg, d, th.reshape(-1), rv.reshape(-1), params, dt,
+                    RH_max, int(oi.sstp_coal), do_coal, do_sedi)
+                return (d, thc.reshape(nx, nz), rvc.reshape(nx, nz))
+            return f
+
         if not split_coal:
             def f(carry):
                 d, th, rv = carry
@@ -664,6 +680,8 @@ class Kinematic2D:
             d = jax.jit(
                 dense_mod.pack, static_argnums=(0, 2)
             )(p.cfg, flat_state, cap)
+            # resident-kernel eligibility probe for _lgrngn_step_fn_dense
+            self._dense_probe = d
             carry = (d, jnp.asarray(self.th), jnp.asarray(self.rv))
         else:
             carry = (p.state, jnp.asarray(self.th), jnp.asarray(self.rv))

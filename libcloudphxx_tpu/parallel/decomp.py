@@ -519,10 +519,36 @@ def replicate_state_for_mesh(cfg: StaticConfig, mesh: Mesh, state_builder,
                                axis=axis)
 
     merged = jax.tree_util.tree_map(cat, spec, *locals_)
-    return jax.device_put(
+    return global_put(
         merged,
         jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s), spec),
     )
+
+
+def global_put(tree, shardings):
+    """device_put a host-value pytree with NamedShardings, working in BOTH
+    single-controller and multi-controller (multi-process) runs.
+
+    Multi-controller jax.device_put cannot target shardings that span
+    non-addressable devices; there every process holds the SAME full host
+    value (the front-end's init/sync are deterministic), so each builds the
+    global array from its addressable portion via make_array_from_callback
+    (the reference analog: every MPI rank computes its own slab of the same
+    global initial condition, mpi_adve_test.cpp:92-110)."""
+    import numpy as np
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def one(x, s):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            # already a global array (e.g. untouched state leaves inside a
+            # dataclasses.replace) — device-to-device resharding is
+            # multi-controller-legal, host fetching is not
+            return jax.device_put(x, s)
+        a = np.asarray(x)
+        return jax.make_array_from_callback(a.shape, s,
+                                            lambda idx: a[idx])
+    return jax.tree_util.tree_map(one, tree, shardings)
 
 
 def device_put_domains(cfg: StaticConfig, mesh: Mesh, widths=None):
@@ -530,6 +556,6 @@ def device_put_domains(cfg: StaticConfig, mesh: Mesh, widths=None):
     lo, hi, nxl = shard_domains(cfg, mesh.devices.size, widths)
     dom = ShardDomain(lo=jnp.asarray(lo), hi=jnp.asarray(hi),
                       nxl=jnp.asarray(nxl))
-    return jax.device_put(
+    return global_put(
         dom, jax.tree_util.tree_map(
             lambda _: NamedSharding(mesh, P("x")), dom))

@@ -292,7 +292,7 @@ class particles_multi_t(particles_t):
             else:  # per-cell arrays
                 per_sd[name] = jnp.asarray(self._pad_cell(v))
         merged = State(**per_sd)
-        return jax.device_put(merged, self._sharding)
+        return decomp.global_put(merged, self._sharding)
 
     # ------------------------------------------------------------------ init
     def init(self, th, rv, rhod, p=None, courant_x=None, courant_y=None,
@@ -515,7 +515,7 @@ class particles_multi_t(particles_t):
                 updates["ambient_chem"] = jnp.asarray(np.stack(
                     [self._pad_cell(row) for row in np.asarray(gases)]))
         if updates:
-            self.state = jax.device_put(
+            self.state = decomp.global_put(
                 dataclasses.replace(self.state, **updates), self._sharding)
         self._should_now_run_cond = True
 
@@ -630,15 +630,16 @@ class particles_multi_t(particles_t):
                 in_specs=(spec,) + (P("x"),) * (1 + len(attrs)),
                 out_specs=spec))
         sh = NamedSharding(self.mesh, P("x"))
-        dev_valid = jax.device_put(jnp.asarray(valid.reshape(-1)), sh)
-        dev_vals = [jax.device_put(jnp.asarray(payload[a].reshape(-1)), sh)
+        dev_valid = decomp.global_put(jnp.asarray(valid.reshape(-1)), sh)
+        dev_vals = [decomp.global_put(jnp.asarray(payload[a].reshape(-1)),
+                                      sh)
                     for a in attrs]
         self.state = self._shard_jits[jkey](self.state, dev_valid,
                                             *dev_vals)
         return n_new
 
     def _put_state(self, state):
-        return jax.device_put(state, self._sharding)
+        return decomp.global_put(state, self._sharding)
 
     # ---------------------------------------------------------- diag output
     def _cell_to_host(self, arr):
@@ -717,5 +718,5 @@ class MeshSrcEngine:
         sh = NamedSharding(prt.mesh, P("x"))
         prt.state = dataclasses.replace(
             prt.state,
-            n=prt.state.n + jax.device_put(
+            n=prt.state.n + decomp.global_put(
                 jnp.asarray(updates, np.asarray(prt.state.n).dtype), sh))

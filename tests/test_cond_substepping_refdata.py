@@ -66,6 +66,12 @@ def run_config(RH_formula, sstp_cond, exact, constp, mixing, adaptive,
                sstp_cond_act, step_count=100):
     oi = lgrngn.opts_init_t()
     oi.dry_distros = {(0.61, 0.0): lognormal, (1.28, 0.0): lognormal2}
+    # bit-exact mt19937/f32 replica of the reference's init sampling
+    # (lgrngn/refinit.py): the step-10 transient metrics then become
+    # deterministic functions of the physics, gated at ~1% instead of the
+    # 22-45% realisation noise of independent populations (round-4 fix:
+    # the 0-D parcel multiplier uses dv=1/rhod, init_dist_analysis.ipp:30)
+    oi.reference_rng_init = True
     oi.coal_switch = False
     oi.sedi_switch = False
     oi.RH_max = 0.95
@@ -170,22 +176,11 @@ def run_config(RH_formula, sstp_cond, exact, constp, mixing, adaptive,
 
 
 # End-state columns gate at the reference's own tolerances
-# (lgrngn_cond_substepping_test.py:79-91).  The step-10 TRANSIENT spectral
-# columns (act/mr/sr/tr) gate looser; what we verified about them (r3):
-#   - the per-droplet implicit growth solve matches an oracle built from the
-#     reference's own header physics + toms748 to max 1.5e-5 relative
-#     (element-wise over 4000 droplets at the jump state),
-#   - our exact-per-particle (mixing) path now reproduces our percell path
-#     to 6 digits — the same identity the reference refdata itself shows
-#     (its exact and percell rows are bit-identical),
-#   - act@step10 is hyper-sensitive to the SD-population realisation: with
-#     the bit-exact mt19937 init replica the sstp=1 error drops 40% -> 10%,
-#   - rhod substepping (reference sstp_percell_step.ipp:17-20 var_rho,
-#     unconditional in the exact path) shifts act@10 by ~15% in either
-#     direction depending on the population realisation.
-# End states converge to <0.5% and the transient error falls monotonically
-# with substeps (asserted below); the residual step-10 offsets are
-# population-sampling + transient-history artifacts, not physics errors.
+# (lgrngn_cond_substepping_test.py:79-91).  With the bit-exact init
+# (reference_rng_init above) the step-10 TRANSIENT spectral columns
+# (act/mr/sr/tr) reproduce the CSV to <=1% across every configuration
+# (measured r4: 4e-4 to 9.4e-3) — the r3 diagnosis (SD-population
+# realisation noise) confirmed and eliminated.  Gate at 3%.
 TOLS = {
     "ss": dict(rtol=1.5e-2),
     "rv_diff": dict(atol=1e-6),
@@ -193,7 +188,7 @@ TOLS = {
     "act_post_evap": dict(rtol=1.5e-2), "gccn_post_evap": dict(rtol=1.5e-2),
 }
 def transient_tol(sstp, exact, constp, adaptive):
-    return {1: 0.45, 2: 0.35, 8: 0.27, 32: 0.22}[sstp]
+    return 0.03
 
 # (RH_formula, sstp_cond, exact, constp, mixing, adaptive, act)
 CONFIGS = [
@@ -238,9 +233,9 @@ def test_substepping_vs_refdata(refmap, RH_formula, sstp, exact, constp,
 
 
 def test_substepping_converges_to_reference_limit(refmap):
-    """With enough substeps the activation curve must approach the
-    reference's converged values (the CSV's purpose: activation / mixing
-    ratio / supersaturation vs substep count)."""
+    """The activation-vs-substep-count CURVE (the CSV's whole purpose) must
+    track the reference's: each point within the transient gate AND the
+    substep dependence ordered the same way."""
     percell = ("pv_cc", False, False, True, False, 1)
     acts, refs = [], []
     for sstp in (1, 8, 32):
@@ -252,9 +247,9 @@ def test_substepping_converges_to_reference_limit(refmap):
         acts.append(res["act"])
         refs.append(float(ref["act"]))
     rel = [abs(a - r) / r for a, r in zip(acts, refs)]
-    # error shrinks monotonically with substeps
-    assert rel[2] < rel[1] < rel[0]
-    assert rel[2] < 0.22
+    assert max(rel) < 0.03, rel
+    # substep dependence runs the same direction as the reference's curve
+    assert np.sign(acts[2] - acts[0]) == np.sign(refs[2] - refs[0])
 
 
 def test_exact_mixing_equals_percell():

@@ -1,0 +1,145 @@
+"""The dense cell-major engine behind the PUBLIC particles_t API
+(lgrngn/dense_front.py, selected by the factory via LIBCLOUD_ENGINE).
+
+Gates: with coalescence off the dense engine must match the flat engine
+essentially exactly through the full public surface (step_sync/step_async/
+diag_*/puddle); with coalescence on, the RNG realisations differ by
+construction, so gates are conservation + cond-dominated fields.
+"""
+
+import os
+from math import log, sqrt, pi
+
+import numpy as np
+import pytest
+
+from libcloudphxx_tpu import lgrngn
+
+
+def lognormal(lnr):
+    mean_r, stdev, n_tot = 0.04e-6 / 2, 1.4, 60e6
+    return (n_tot * np.exp(-((np.asarray(lnr) - log(mean_r)) ** 2)
+                           / 2 / log(stdev) ** 2)
+            / log(stdev) / sqrt(2 * pi))
+
+
+NX, NZ = 6, 5
+
+
+def _run(engine, do_coal, steps=5):
+    os.environ["LIBCLOUD_ENGINE"] = engine
+    try:
+        oi = lgrngn.opts_init_t()
+        oi.dry_distros = {(0.61, 0.0): lognormal}
+        oi.coal_switch = do_coal
+        if do_coal:
+            oi.kernel = lgrngn.kernel_t.geometric
+        oi.terminal_velocity = lgrngn.vt_t.beard77
+        oi.sedi_switch = True
+        oi.dt = 1
+        oi.nx, oi.nz = NX, NZ
+        oi.dx = oi.dz = 100.0
+        oi.x1, oi.z1 = NX * 100.0, NZ * 100.0
+        oi.sd_conc = 20
+        oi.n_sd_max = 20 * NX * NZ
+        oi.sstp_cond = 3
+        oi.sstp_coal = 2
+        opts = lgrngn.opts_t()
+        opts.adve = opts.cond = opts.sedi = True
+        opts.coal = do_coal
+        opts.chem_dsl = False
+        rhod = np.ones((NX, NZ))
+        th = 289.0 * np.ones((NX, NZ))
+        rv = 7.5e-3 * np.ones((NX, NZ))
+        Cx = 0.2 * np.ones((NX + 1, NZ))
+        Cz = -0.1 * np.ones((NX, NZ + 1))
+        p = lgrngn.factory(lgrngn.backend_t.serial, oi)
+        p.init(th, rv, rhod, Cx=Cx, Cz=Cz)
+        for _ in range(steps):
+            p.step_sync(opts, th, rv, rhod)
+            p.step_async(opts)
+        p.diag_all(); p.diag_sd_conc(); sd = p.outbuf().copy()
+        p.diag_all(); p.diag_wet_mom(0); m0 = p.outbuf().copy()
+        p.diag_all(); p.diag_wet_mom(3); m3 = p.outbuf().copy()
+        p.diag_RH(); RH = p.outbuf().copy()
+        return dict(cls=type(p).__name__, th=th, rv=rv, sd=sd, m0=m0,
+                    m3=m3, RH=RH, puddle=p.diag_puddle(), prtcls=p)
+    finally:
+        os.environ.pop("LIBCLOUD_ENGINE", None)
+
+
+def test_factory_selects_dense():
+    r = _run("dense", False, steps=1)
+    assert r["cls"] == "particles_dense_t"
+    r = _run("flat", False, steps=1)
+    assert r["cls"] == "particles_t"
+
+
+def test_dense_public_exact_no_coal():
+    d = _run("dense", False)
+    f = _run("flat", False)
+    np.testing.assert_allclose(d["th"], f["th"], rtol=1e-12)
+    np.testing.assert_allclose(d["rv"], f["rv"], rtol=1e-10)
+    np.testing.assert_allclose(d["m0"], f["m0"], rtol=1e-9)
+    np.testing.assert_allclose(d["m3"], f["m3"], rtol=1e-9)
+    np.testing.assert_allclose(d["RH"], f["RH"], rtol=1e-10)
+    np.testing.assert_array_equal(d["sd"], f["sd"])
+    for k, v in f["puddle"].items():
+        assert d["puddle"][k] == pytest.approx(v, rel=1e-9, abs=1e-300)
+
+
+def test_dense_public_with_coal_statistical():
+    d = _run("dense", True)
+    f = _run("flat", True)
+    # cond-dominated thermodynamics barely feel the pairing realisation
+    np.testing.assert_allclose(d["th"], f["th"], rtol=1e-5)
+    np.testing.assert_allclose(d["rv"], f["rv"], rtol=1e-3)
+    # SD slots survive all-or-nothing collisions identically
+    np.testing.assert_array_equal(d["sd"], f["sd"])
+    # 3rd moment (liquid water) conserved by coal: near-exact
+    np.testing.assert_allclose(d["m3"].sum(), f["m3"].sum(), rtol=1e-3)
+    # droplet number decreases under coalescence in both engines
+    assert d["m0"].sum() < 20 * NX * NZ * 1e9
+
+
+def test_dense_public_interleaved_diag_and_attrs():
+    """Diagnostics mid-run force flat sync; carried get_attr works, the
+    non-carried attributes fail loudly instead of silently stale."""
+    os.environ["LIBCLOUD_ENGINE"] = "dense"
+    try:
+        oi = lgrngn.opts_init_t()
+        oi.dry_distros = {(0.61, 0.0): lognormal}
+        oi.coal_switch = False
+        oi.terminal_velocity = lgrngn.vt_t.beard77
+        oi.dt = 1
+        oi.nx, oi.nz = NX, NZ
+        oi.dx = oi.dz = 100.0
+        oi.x1, oi.z1 = NX * 100.0, NZ * 100.0
+        oi.sd_conc = 8
+        oi.n_sd_max = 8 * NX * NZ
+        opts = lgrngn.opts_t()
+        opts.adve = opts.cond = True
+        opts.sedi = opts.coal = opts.chem_dsl = False
+        rhod = np.ones((NX, NZ))
+        th = 289.0 * np.ones((NX, NZ))
+        rv = 7.5e-3 * np.ones((NX, NZ))
+        p = lgrngn.factory(lgrngn.backend_t.serial, oi)
+        p.init(th, rv, rhod,
+               Cx=0.1 * np.ones((NX + 1, NZ)),
+               Cz=np.zeros((NX, NZ + 1)))
+        n0 = p.get_attr("n")
+        total0 = n0[n0 > 0].sum()
+        for i in range(4):
+            p.step_sync(opts, th, rv, rhod)
+            p.step_async(opts)
+            p.diag_all()
+            p.diag_sd_conc()
+            assert p.outbuf().sum() == pytest.approx(8 * NX * NZ)
+        n1 = p.get_attr("n")
+        assert n1[n1 > 0].sum() == pytest.approx(total0)
+        x = p.get_attr("x")
+        assert np.isfinite(x).all()
+        with pytest.raises(RuntimeError, match="not carried"):
+            p.get_attr("up")
+    finally:
+        os.environ.pop("LIBCLOUD_ENGINE", None)

@@ -38,6 +38,17 @@ def travis_run():
     return golden_parity.compare(snaps, REFDATA)
 
 
+@pytest.fixture(scope="module")
+def travis_run_dense():
+    """The same travis case through the dense cell-major engine behind the
+    public factory (the production fast path) — same reference gates."""
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    import golden_parity
+    snaps = golden_parity.run_travis(verbose=False, engine="dense")
+    return golden_parity.compare(snaps, REFDATA)
+
+
 def test_t0_bit_exact(travis_run):
     """Initial condition: h5diff --relative=1e-9 on th, rv, sd_conc."""
     for k in ("th", "rv", "sd_conc"):
@@ -55,3 +66,14 @@ def test_t20_rv(travis_run):
 def test_t20_sd_conc(travis_run):
     assert travis_run[20]["sd_conc"]["max_abs"] <= 1.0, \
         travis_run[20]["sd_conc"]
+
+
+@pytest.mark.slow
+def test_dense_engine_golden(travis_run_dense):
+    """fig_a gates through the dense engine (CMakeLists.txt:101-115)."""
+    r = travis_run_dense
+    for k in ("th", "rv", "sd_conc"):
+        assert r[0][k]["max_rel"] <= 1e-9, (k, r[0][k])
+    assert r[20]["th"]["max_rel"] <= 1e-3, r[20]["th"]
+    assert r[20]["rv"]["max_rel"] <= 2.1e-3, r[20]["rv"]
+    assert r[20]["sd_conc"]["max_abs"] <= 1.0, r[20]["sd_conc"]

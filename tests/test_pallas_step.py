@@ -1,0 +1,98 @@
+"""Kernel-resident step (ops/pallas_step): interpret-mode equivalence with
+the dense XLA path.
+
+The resident kernel shares every physics function with the XLA dense
+engine (_advance_rw2_core, pair_and_collide, _vt_in_kernel), so the
+cond+transport path must match BITWISE at f32 (same ops, same order).  The
+coalescence loop uses the on-core PRNG (no CPU lowering) and is gated on
+real TPU by the bench-path conservation checks instead
+(tests/test_pallas_coal.py covers the loop body in interpret mode).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from jax.experimental.pallas import tpu as pltpu
+
+from libcloudphxx_tpu import lgrngn
+from libcloudphxx_tpu.lgrngn import dense as dm
+from libcloudphxx_tpu.lgrngn import vterm as vterm_mod
+from libcloudphxx_tpu.models import Kinematic2D
+
+
+def _setup(rain=False):
+    m = Kinematic2D(nx=8, nz=8, micro="lgrngn", sd_conc=24, sstp_cond=3,
+                    sstp_coal=2, n_sd_max=24 * 8 * 8,
+                    terminal_velocity=lgrngn.vt_t.beard77)
+    p = m.prtcls
+    cfg = p.cfg
+    d = jax.jit(dm.pack, static_argnums=(0, 2))(cfg, p.state, 32)
+    f32 = lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a
+    d = jax.tree.map(f32, d)
+    if rain:
+        # a few mm-scale drops (small multiplicity, so the liquid water
+        # stays physical) just above the lower wall: sedimentation must
+        # carry some through z0 into the puddle within one step
+        d = dataclasses.replace(
+            d,
+            n=jnp.where(d.n > 0, 2.0, 0.0),
+            rw2=jnp.where(d.n > 0, (1e-3) ** 2, 0.0),
+            z=jnp.where(d.n > 0, cfg.z0 + 5.0 * (d.z / cfg.z1), d.z))
+    # the kernel reconstructs stale vt from (rw2, th0, rv0) at f32; give
+    # the XLA path the same f32 values
+    d = dataclasses.replace(
+        d, vt=vterm_mod.vt_of(cfg, d.rw2, d.T[:, None], d.p[:, None],
+                              d.rhod[:, None], d.eta[:, None]))
+    th = jnp.asarray(m.th, jnp.float32).reshape(-1)
+    rv = jnp.asarray(m.rv, jnp.float32).reshape(-1)
+    return m, cfg, d, th, rv
+
+
+def _multiset(d, cfg):
+    n = np.asarray(d.n).reshape(-1)
+    alive = n > 0
+    cols = [np.repeat(np.arange(cfg.n_cell), d.cap)[alive], n[alive],
+            np.asarray(d.rw2).reshape(-1)[alive],
+            np.asarray(d.x).reshape(-1)[alive],
+            np.asarray(d.z).reshape(-1)[alive]]
+    o = np.lexsort(cols[::-1])
+    return np.stack([c[o] for c in cols], 1)
+
+
+@pytest.mark.parametrize("rain", [False, True])
+def test_resident_step_matches_dense_xla(rain):
+    m, cfg, d, th, rv = _setup(rain)
+    dt = float(m.setup.dt)
+    params = jnp.zeros((0,), jnp.float32)
+
+    # XLA reference: step_cond + vterm + adve/sedi/bcnd + rebin (no coal)
+    d_x, th_x, rv_x = dm.step_cond(cfg, d, th, rv, dt, 44.0)
+    d_x = dataclasses.replace(
+        d_x, vt=vterm_mod.vt_of(cfg, d_x.rw2, d_x.T[:, None],
+                                d_x.p[:, None], d_x.rhod[:, None],
+                                d_x.eta[:, None]))
+    d_x = dm.adve_sedi_bcnd(cfg, d_x, dt, True)
+    d_x = dm.rebin(cfg, d_x)
+
+    with pltpu.force_tpu_interpret_mode():
+        d_k, th_k, rv_k = dm.step_fused(cfg, d, th, rv, params, dt, 44.0,
+                                        2, False, True)
+
+    np.testing.assert_array_equal(np.asarray(th_k), np.asarray(th_x))
+    np.testing.assert_array_equal(np.asarray(rv_k), np.asarray(rv_x))
+    a, b = _multiset(d_k, cfg), _multiset(d_x, cfg)
+    assert a.shape == b.shape
+    # cell / n / x / z bitwise; rw2 to 1 f32 ulp (the 16-iteration root
+    # find picks up last-ulp reassociation differences between the Mosaic
+    # interpreter and compiled XLA)
+    np.testing.assert_array_equal(a[:, [0, 1, 3, 4]], b[:, [0, 1, 3, 4]])
+    np.testing.assert_allclose(a[:, 2], b[:, 2], rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(d_k.puddle),
+                               np.asarray(d_x.puddle), rtol=1e-6)
+    if rain:
+        from libcloudphxx_tpu.lgrngn.state import OUT_PRTCL_NUM
+        assert float(d_k.puddle[OUT_PRTCL_NUM]) > 0.0

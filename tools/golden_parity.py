@@ -31,20 +31,33 @@ REFDATA = ("/root/reference/models/kinematic_2D/tests/paper_GMD_2015/"
 
 
 def run_travis(nt=20, spinup=10, nx=60, nz=60, sd_conc=64, outfreq=10,
-               verbose=True):
+               verbose=True, engine=None):
     """Returns {t: {"th": ..., "rv": ..., "sd_conc": ...}} snapshots taken
     with the reference's output protocol: th/rv recorded after MPDATA
     advection but before the microphysics of the output step (libmpdata++
     output runs in parent hook_post_step, kin_cloud_2d_lgrngn.hpp:222-225);
-    sd_conc recorded by diag() after the microphysics."""
-    model = Kinematic2D(
-        nx=nx, nz=nz, micro="lgrngn", sd_conc=sd_conc,
-        sstp_cond=10, sstp_coal=10, n_sd_max=nx * nz * sd_conc,
-        grid="node", fct=True, reference_rng=True,
-        kernel_parameters=[0.5],
-        terminal_velocity=lgrngn.vt_t.khvorostyanov_spherical,
-        backend=lgrngn.backend_t.serial,
-    )
+    sd_conc recorded by diag() after the microphysics.
+
+    engine="dense" routes the run through the dense cell-major engine via
+    the factory (LIBCLOUD_ENGINE), exercising the fast path against the
+    same reference gates."""
+    import os
+    if engine is not None:
+        os.environ["LIBCLOUD_ENGINE"] = engine
+    try:
+        model = Kinematic2D(
+            nx=nx, nz=nz, micro="lgrngn", sd_conc=sd_conc,
+            sstp_cond=10, sstp_coal=10, n_sd_max=nx * nz * sd_conc,
+            grid="node", fct=True, reference_rng=True,
+            kernel_parameters=[0.5],
+            terminal_velocity=lgrngn.vt_t.khvorostyanov_spherical,
+            backend=lgrngn.backend_t.serial,
+        )
+    finally:
+        if engine is not None:
+            os.environ.pop("LIBCLOUD_ENGINE", None)
+    if engine == "dense":
+        assert type(model.prtcls).__name__ == "particles_dense_t"
     snaps = {0: {
         "th": model.th.copy(), "rv": model.rv.copy(),
         "sd_conc": model.diag_lgrngn("sd_conc").copy(),
