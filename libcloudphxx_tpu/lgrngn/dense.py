@@ -708,10 +708,12 @@ def resident_ok(cfg: StaticConfig, d: DenseState):
     kernels and terminal velocities at f32 on TPU; table-kernel,
     const-multi and f64-parity configs stay on the XLA path."""
     import os
-    # opt-in while the chained-run row-overflow at bench shape is being
-    # root-caused (single-step equivalence is gated and exact; see
-    # tests/test_pallas_step.py + the r4 TPU debug notes)
-    if os.environ.get("LIBCLOUD_RESIDENT", "0") != "1":
+    # LIBCLOUD_RESIDENT=0 forces the XLA dense pipeline for A/B.  The
+    # check runs at TRACE time (inside the jitted step), so a re-pack at a
+    # different row capacity re-evaluates it — the cap gate below is what
+    # keeps non-power-of-two widths off the bitonic network (the r4 rep-1
+    # overflow bug).
+    if os.environ.get("LIBCLOUD_RESIDENT", "auto") == "0":
         return False
     cap = d.n.shape[1]
     if cap & (cap - 1):

@@ -563,24 +563,28 @@ class Kinematic2D:
         # pallas_call input/output aliasing to avoid the layout copies)
 
         # kernel-resident step: cond+coal+transport as ONE pallas_call
-        # (ops/pallas_step) with only MPDATA and the re-binning in XLA
-        d0 = getattr(self, "_dense_probe", None)
-        if d0 is not None and dense_mod.resident_ok(cfg, d0):
-            def f(carry):
-                d, th, rv = carry
-                th = mpdata.advect(th, gc_x, gc_z, G, n_iters=n_iters,
-                                   fct=fct)
-                rv = mpdata.advect(rv, gc_x, gc_z, G, n_iters=n_iters,
-                                   fct=fct)
-                d, thc, rvc = dense_mod.step_fused(
-                    cfg, d, th.reshape(-1), rv.reshape(-1), params, dt,
-                    RH_max, int(oi.sstp_coal), do_coal, do_sedi)
-                return (d, thc.reshape(nx, nz), rvc.reshape(nx, nz))
-            return f
+        # (ops/pallas_step) with only MPDATA and the re-binning in XLA.
+        # The eligibility check runs INSIDE the step function so it is
+        # re-evaluated per traced shape: the row capacity changes between
+        # runs (re-packs of an evolved population) and the kernel's bitonic
+        # network silently mis-sorts at non-power-of-two widths (the
+        # round-4 rep-1 overflow bug).
+        def resident_f(carry):
+            d, th, rv = carry
+            th = mpdata.advect(th, gc_x, gc_z, G, n_iters=n_iters,
+                               fct=fct)
+            rv = mpdata.advect(rv, gc_x, gc_z, G, n_iters=n_iters,
+                               fct=fct)
+            d, thc, rvc = dense_mod.step_fused(
+                cfg, d, th.reshape(-1), rv.reshape(-1), params, dt,
+                RH_max, int(oi.sstp_coal), do_coal, do_sedi)
+            return (d, thc.reshape(nx, nz), rvc.reshape(nx, nz))
 
         if not split_coal:
             def f(carry):
                 d, th, rv = carry
+                if dense_mod.resident_ok(cfg, d):  # static per trace
+                    return resident_f(carry)
                 th = mpdata.advect(th, gc_x, gc_z, G, n_iters=n_iters,
                                    fct=fct)
                 rv = mpdata.advect(rv, gc_x, gc_z, G, n_iters=n_iters,
@@ -658,12 +662,19 @@ class Kinematic2D:
 
     def dense_capacity(self):
         """Row capacity for the dense engine: 2x the densest initial cell,
-        rounded up to a multiple of 8 lanes."""
+        rounded up to a multiple of 8 lanes — or to the next power of two
+        when the kernel-resident step is enabled (its in-row bitonic
+        network only sorts power-of-two widths)."""
+        import os
         p = self.prtcls
         counts = np.bincount(
             np.asarray(p.state.ijk)[np.asarray(p.state.n) > 0],
             minlength=p.cfg.n_cell)
-        return max(8, int(-(-2 * int(counts.max()) // 8) * 8))
+        cap = max(8, int(-(-2 * int(counts.max()) // 8) * 8))
+        if os.environ.get("LIBCLOUD_RESIDENT", "auto") != "0" \
+                and jax.default_backend() == "tpu":
+            cap = 1 << (cap - 1).bit_length()
+        return cap
 
     def run_device_lgrngn(self, nt, spinup=0, engine="flat"):
         """Device-resident lgrngn run: lax.scan over fused model steps; host
@@ -680,8 +691,6 @@ class Kinematic2D:
             d = jax.jit(
                 dense_mod.pack, static_argnums=(0, 2)
             )(p.cfg, flat_state, cap)
-            # resident-kernel eligibility probe for _lgrngn_step_fn_dense
-            self._dense_probe = d
             carry = (d, jnp.asarray(self.th), jnp.asarray(self.rv))
         else:
             carry = (p.state, jnp.asarray(self.th), jnp.asarray(self.rv))

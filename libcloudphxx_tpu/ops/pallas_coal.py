@@ -42,6 +42,9 @@ def bitonic_sort_rows(key, vals):
     """Ascending bitonic sort of ``key`` along the last axis (a power of
     two); ``vals`` ride as values.  (rows, L) arrays."""
     r, L = key.shape
+    if L & (L - 1):
+        raise ValueError(
+            f"bitonic_sort_rows: width must be a power of two, got {L}")
     lane = jax.lax.broadcasted_iota(jnp.int32, (r, L), 1)
     k = 2
     while k <= L:

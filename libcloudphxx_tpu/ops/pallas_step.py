@@ -247,6 +247,12 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
     SD planes (n_cell, cap) f32; cell vectors (n_cell,) f32.  Returns
     (n, rw2, rd3, kpa, vt, x, z, th, rv, T, p, RH, eta, puddle4)."""
     n_cell, cap = n.shape
+    if cap & (cap - 1):
+        # the in-kernel bitonic network silently MIS-SORTS at widths that
+        # are not powers of two — refuse loudly (callers gate via
+        # dense.resident_ok; this protects direct users)
+        raise ValueError(f"step_resident: cap must be a power of two, "
+                         f"got {cap}")
     nblk = pl.cdiv(n_cell, block_rows)
     pad_rows = nblk * block_rows - n_cell
 

@@ -542,9 +542,13 @@ def global_put(tree, shardings):
     def one(x, s):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
             # already a global array (e.g. untouched state leaves inside a
-            # dataclasses.replace) — device-to-device resharding is
-            # multi-controller-legal, host fetching is not
-            return jax.device_put(x, s)
+            # dataclasses.replace): reshard with a compiled identity —
+            # multi-controller-legal, unlike host fetching or device_put.
+            # Zero-size leaves pass through (XLA normalises them to
+            # replicated; any sharding is equivalent).
+            if x.size == 0 or x.sharding.is_equivalent_to(s, x.ndim):
+                return x
+            return jax.jit(lambda a: a, out_shardings=s)(x)
         a = np.asarray(x)
         return jax.make_array_from_callback(a.shape, s,
                                             lambda idx: a[idx])
