@@ -524,7 +524,8 @@ def _row_courants(cfg: StaticConfig, d: DenseState):
 
 
 def adve_sedi_bcnd(cfg: StaticConfig, d: DenseState, dt, do_sedi: bool,
-                   do_adve: bool = True, do_subs: bool = False, w_LS=None):
+                   do_adve: bool = True, do_subs: bool = False, w_LS=None,
+                   x_wrap: bool = True):
     """Advection + sedimentation + subsidence + walls/puddle in one pass
     (adve.ipp:28-93 implicit/euler, sedi.ipp:13-24, subs.ipp:39-51,
     bcnd.ipp:214-365).
@@ -560,8 +561,11 @@ def adve_sedi_bcnd(cfg: StaticConfig, d: DenseState, dt, do_sedi: bool,
 
     n = d.n
     puddle = d.puddle
-    # x walls
-    if not cfg.open_side_walls:
+    # x walls (x_wrap=False on the device mesh: cross-slab movers ride the
+    # ring in parallel/dense_mesh.rebin_sharded instead)
+    if not x_wrap:
+        pass
+    elif not cfg.open_side_walls:
         x = cfg.x0 + jnp.remainder(x - cfg.x0, cfg.x1 - cfg.x0)
     else:
         n = jnp.where((x >= cfg.x1) | (x < cfg.x0), 0.0, n)

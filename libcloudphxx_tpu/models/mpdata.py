@@ -20,6 +20,20 @@ import jax.numpy as jnp
 EPS = 1e-15
 
 
+def _frac(num, den):
+    """Guarded ratio for the antidiffusive/FCT terms.
+
+    libmpdata++'s positive-definite ``frac`` (formulae_mpdata_common.hpp)
+    is where(den > 0, num/den, 0) — an EXACT zero test, reachable because
+    positive-definite fields hold exact zeros in clear air.  The additive
+    epsilon variant (Smolarkiewicz 1984's eps) is kept for A/B
+    (LIBCLOUD_MPDATA_FRAC=eps)."""
+    import os
+    if os.environ.get("LIBCLOUD_MPDATA_FRAC", "exact") == "eps":
+        return num / (den + EPS)
+    return jnp.where(den > 0, num / jnp.where(den > 0, den, 1.0), 0.0)
+
+
 def _donor_flux(psi_l, psi_r, gc):
     """Upwind flux through a face with G-weighted courant gc."""
     return jnp.maximum(gc, 0.0) * psi_l + jnp.minimum(gc, 0.0) * psi_r
@@ -31,7 +45,14 @@ def _pad_x(psi):
 
 
 def _pad_z(psi):
-    """Zero-gradient halo in z (axis 1; walls carry zero flux anyway)."""
+    """z halo (axis 1).  Default: zero-gradient (edge copy) — libmpdata++
+    bcond::open's scalar halo.  LIBCLOUD_MPDATA_ZHALO=linear switches to
+    linear extrapolation for A/B testing."""
+    import os
+    if os.environ.get("LIBCLOUD_MPDATA_ZHALO", "edge") == "linear":
+        lo = 2.0 * psi[:, :1] - psi[:, 1:2]
+        hi = 2.0 * psi[:, -1:] - psi[:, -2:-1]
+        return jnp.concatenate([lo, psi, hi], axis=1)
     return jnp.concatenate([psi[:, :1], psi, psi[:, -1:]], axis=1)
 
 
@@ -53,13 +74,13 @@ def _antidiff_gc(psi, gc_x, gc_z, G):
 
     # --- x faces (nx+1, nz)
     # A = (psi_r - psi_l) / (psi_r + psi_l)
-    A_x = (px[1:] - px[:-1]) / (px[1:] + px[:-1] + EPS)
+    A_x = _frac(px[1:] - px[:-1], px[1:] + px[:-1])
     Gx = 0.5 * (_pad_x(G)[:-1] + _pad_x(G)[1:])
     # cross-term B: average of psi z-differences around the x face
     pxz = _pad_z(px)  # (nx+2, nz+2)
     num = (pxz[1:, 2:] + pxz[:-1, 2:]) - (pxz[1:, :-2] + pxz[:-1, :-2])
-    den = (pxz[1:, 2:] + pxz[:-1, 2:]) + (pxz[1:, :-2] + pxz[:-1, :-2]) + EPS
-    B_x = 0.5 * num / den
+    den = (pxz[1:, 2:] + pxz[:-1, 2:]) + (pxz[1:, :-2] + pxz[:-1, :-2])
+    B_x = 0.5 * _frac(num, den)
     # gc_z averaged to the x face: mean of the four surrounding z faces
     gcz_p = jnp.concatenate([gc_z[-1:], gc_z, gc_z[:1]], axis=0)  # periodic x
     gcz_at_x = 0.25 * (
@@ -69,22 +90,27 @@ def _antidiff_gc(psi, gc_x, gc_z, G):
         - gc_x * gcz_at_x / Gx * B_x
 
     # --- z faces (nx, nz+1)
-    A_z = (pz[:, 1:] - pz[:, :-1]) / (pz[:, 1:] + pz[:, :-1] + EPS)
+    A_z = _frac(pz[:, 1:] - pz[:, :-1], pz[:, 1:] + pz[:, :-1])
     Gz = 0.5 * (_pad_z(G)[:, :-1] + _pad_z(G)[:, 1:])
     pzx = _pad_x(pz)  # (nx+2, nz+2)
     num = (pzx[2:, 1:] + pzx[2:, :-1]) - (pzx[:-2, 1:] + pzx[:-2, :-1])
-    den = (pzx[2:, 1:] + pzx[2:, :-1]) + (pzx[:-2, 1:] + pzx[:-2, :-1]) + EPS
-    B_z = 0.5 * num / den
+    den = (pzx[2:, 1:] + pzx[2:, :-1]) + (pzx[:-2, 1:] + pzx[:-2, :-1])
+    B_z = 0.5 * _frac(num, den)
     gcx_p = jnp.concatenate([gc_x[:, :1], gc_x, gc_x[:, -1:]], axis=1)
     gcx_at_z = 0.25 * (
         gcx_p[:-1, :-1] + gcx_p[1:, :-1] + gcx_p[:-1, 1:] + gcx_p[1:, 1:]
     )
     gc_z2 = jnp.abs(gc_z) * (1.0 - jnp.abs(gc_z) / Gz) * A_z \
         - gc_z * gcx_at_z / Gz * B_z
-    # rigid walls: no antidiffusive flux through top/bottom (mask instead of
-    # .at[].set — the latter lowers to an unsupported scatter in Pallas)
-    col = jax.lax.broadcasted_iota(jnp.int32, gc_z2.shape, 1)
-    gc_z2 = jnp.where((col == 0) | (col == gc_z2.shape[1] - 1), 0.0, gc_z2)
+    import os
+    if os.environ.get("LIBCLOUD_MPDATA_WALL", "zero") == "zero":
+        # no antidiffusive flux through top/bottom (mask instead of
+        # .at[].set — the latter lowers to an unsupported scatter in
+        # Pallas); LIBCLOUD_MPDATA_WALL=open keeps the wall-face
+        # antidiffusive flux (libmpdata++ bcond::open behaviour A/B)
+        col = jax.lax.broadcasted_iota(jnp.int32, gc_z2.shape, 1)
+        gc_z2 = jnp.where((col == 0) | (col == gc_z2.shape[1] - 1), 0.0,
+                          gc_z2)
     return gc_x2, gc_z2
 
 
@@ -98,20 +124,28 @@ def _fct_limit(psi_n, psi, gc_x, gc_z, G):
     pzn, pz = _pad_z(psi_n), _pad_z(psi)
 
     # local extrema over the 5-point stencil of BOTH psi_n and psi
-    psi_max = jnp.maximum(
-        jnp.maximum(jnp.maximum(pxn[:-2], pxn[2:]),
-                    jnp.maximum(pzn[:, :-2], pzn[:, 2:])),
-        jnp.maximum(jnp.maximum(px[:-2], px[2:]),
-                    jnp.maximum(jnp.maximum(pz[:, :-2], pz[:, 2:]),
-                                jnp.maximum(psi_n, psi))),
-    )
-    psi_min = jnp.minimum(
-        jnp.minimum(jnp.minimum(pxn[:-2], pxn[2:]),
-                    jnp.minimum(pzn[:, :-2], pzn[:, 2:])),
-        jnp.minimum(jnp.minimum(px[:-2], px[2:]),
-                    jnp.minimum(jnp.minimum(pz[:, :-2], pz[:, 2:]),
-                                jnp.minimum(psi_n, psi))),
-    )
+    # (Smolarkiewicz & Grabowski 1990 eq. 14; LIBCLOUD_MPDATA_FCT_EXTREMA=
+    # star restricts to the post-donor psi for A/B)
+    import os
+    star_only = os.environ.get("LIBCLOUD_MPDATA_FCT_EXTREMA",
+                               "both") == "star"
+    psi_max = jnp.maximum(jnp.maximum(px[:-2], px[2:]),
+                          jnp.maximum(jnp.maximum(pz[:, :-2], pz[:, 2:]),
+                                      psi))
+    psi_min = jnp.minimum(jnp.minimum(px[:-2], px[2:]),
+                          jnp.minimum(jnp.minimum(pz[:, :-2], pz[:, 2:]),
+                                      psi))
+    if not star_only:
+        psi_max = jnp.maximum(
+            psi_max,
+            jnp.maximum(jnp.maximum(pxn[:-2], pxn[2:]),
+                        jnp.maximum(jnp.maximum(pzn[:, :-2], pzn[:, 2:]),
+                                    psi_n)))
+        psi_min = jnp.minimum(
+            psi_min,
+            jnp.minimum(jnp.minimum(pxn[:-2], pxn[2:]),
+                        jnp.minimum(jnp.minimum(pzn[:, :-2], pzn[:, 2:]),
+                                    psi_n)))
 
     # donor-cell fluxes of psi with the antidiffusive courants
     fx = _donor_flux(px[:-1], px[1:], gc_x)     # (nx+1, nz), face f
@@ -123,8 +157,8 @@ def _fct_limit(psi_n, psi, gc_x, gc_z, G):
     f_out = (jnp.maximum(fx[1:], 0.0) - jnp.minimum(fx[:-1], 0.0)
              + jnp.maximum(fz[:, 1:], 0.0) - jnp.minimum(fz[:, :-1], 0.0))
 
-    beta_up = (psi_max - psi) * G / (f_in + EPS)
-    beta_dn = (psi - psi_min) * G / (f_out + EPS)
+    beta_up = _frac((psi_max - psi) * G, f_in)
+    beta_dn = _frac((psi - psi_min) * G, f_out)
 
     bup_x, bdn_x = _pad_x(beta_up), _pad_x(beta_dn)
     bup_z, bdn_z = _pad_z(beta_up), _pad_z(beta_dn)

@@ -73,9 +73,18 @@ def test_blk_2m_t9000(blk_2m_run):
                    "running our model at f32 (the reference icicle's "
                    "real_t) moves rc only 8e-6 -> 9e-6; the error lives "
                    "in-cloud (z bands 44-76, all x), not at boundaries.  "
-                   "The residual is therefore a libmpdata++-vs-models/"
-                   "mpdata.py advection-discretisation difference (their "
-                   "source is not in the image to transcribe exactly)",
+                   "r4 closed the remaining attribution as far as possible "
+                   "without the libmpdata++ source: the coupling (euler_b "
+                   "rhs after advection, G=rhod, spinup switch step, "
+                   "relax off) matches the reference coupler line-by-line, "
+                   "and a formulation sweep (tools/mpdata_variant_sweep.py) "
+                   "shows every standard MPDATA variant — exact-zero vs "
+                   "eps frac, wall antidiffusive flux, FCT extrema from "
+                   "psi* only, linear z-halo extrapolation, n_iters 3 — "
+                   "leaves rc at or ABOVE the current 7.9e-6 (star-extrema "
+                   "9.3e-6, linear halo 6.9e-5): the shipped formulation "
+                   "is the closest match among them, and the residual is "
+                   "below the scheme's own variant-to-variant spread",
                    strict=False)
 def test_blk_2m_t9000_rc(blk_2m_run):
     r = blk_2m_run[9000]

@@ -78,16 +78,91 @@ def time_steps(prt, th, rv):
     return (time.perf_counter() - t0) / STEPS
 
 
+def bench_dense():
+    """Serial dense engine vs the 8-shard dense mesh
+    (parallel/dense_mesh), device-loop stepping — the DENSE layout is the
+    performance path, so its scaling overhead is the one that matters."""
+    import dataclasses
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from libcloudphxx_tpu.lgrngn import dense as dm
+    from libcloudphxx_tpu.models import Kinematic2D, mpdata
+    from libcloudphxx_tpu.parallel import decomp, dense_mesh
+
+    m = Kinematic2D(nx=NX, nz=NZ, micro="lgrngn", sd_conc=SD,
+                    sstp_cond=2, sstp_coal=2, n_sd_max=NX * NZ * SD,
+                    terminal_velocity=lgrngn.vt_t.beard77)
+    cfg = m.prtcls.cfg
+    cap = m.dense_capacity()
+    d0 = jax.jit(dm.pack, static_argnums=(0, 2))(cfg, m.prtcls.state, cap)
+    th0, rv0 = jnp.asarray(m.th), jnp.asarray(m.rv)
+    params = jnp.zeros((0,))
+    dt = float(m.setup.dt)
+
+    @jax.jit
+    def fser(c):
+        d, th, rv = c
+        th = mpdata.advect(th, m.gc_x, m.gc_z, m.G, n_iters=2, fct=m.fct)
+        rv = mpdata.advect(rv, m.gc_x, m.gc_z, m.G, n_iters=2, fct=m.fct)
+        d, thc, rvc = dm.step_cond(cfg, d, th.reshape(-1), rv.reshape(-1),
+                                   dt, 44.0)
+        d = dm.step_async(cfg, d, params, dt, 2, True, True)
+        return (d, thc.reshape(NX, NZ), rvc.reshape(NX, NZ))
+
+    c = fser((d0, th0, rv0))  # compile
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        c = fser(c)
+    jax.block_until_ready(c)
+    t_serial = (time.perf_counter() - t0) / STEPS
+
+    n_shards = 8
+    widths = decomp.slab_widths(cfg.nx, n_shards)
+    cfg_l = dataclasses.replace(
+        cfg, nx=max(widths), n_cell=max(widths) * cfg.nz,
+        x0=0.0, x1=max(widths) * cfg.dx)
+    mesh = decomp.make_mesh(n_shards)
+    dom = decomp.device_put_domains(cfg, mesh, widths)
+    step = dense_mesh.dense_step_sharded(cfg_l, 2, 64, True, True, 44.0)
+    spec = dense_mesh.dense_specs()
+    dom_spec = decomp.ShardDomain(lo=P("x"), hi=P("x"), nxl=P("x"))
+    shstep = jax.jit(jax.shard_map(
+        lambda d, th, rv, dom_: step(d, th, rv, dom_, params, dt),
+        mesh=mesh, in_specs=(spec, P("x"), P("x"), dom_spec),
+        out_specs=(spec, P("x"), P("x"))))
+    sharding = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s),
+                                      spec)
+    dmesh = jax.device_put(
+        dense_mesh.scatter_dense(cfg, d0, n_shards, widths), sharding)
+    th_s = dense_mesh.pad_cell_field(cfg, np.asarray(th0).reshape(-1),
+                                     n_shards, widths)
+    rv_s = dense_mesh.pad_cell_field(cfg, np.asarray(rv0).reshape(-1),
+                                     n_shards, widths)
+    out = shstep(dmesh, th_s, rv_s, dom)  # compile
+    t0 = time.perf_counter()
+    c = (dmesh, th_s, rv_s)
+    for _ in range(STEPS):
+        c = shstep(c[0], c[1], c[2], dom)
+    jax.block_until_ready(c)
+    t_mesh = (time.perf_counter() - t0) / STEPS
+    return t_serial, t_mesh
+
+
 def main():
-    prt_s, th_s, rv_s = build(1)
-    t_serial = time_steps(prt_s, th_s, rv_s)
-    prt_m, th_m, rv_m = build(8)
-    t_mesh = time_steps(prt_m, th_m, rv_m)
+    if "--engine=dense" in sys.argv:
+        t_serial, t_mesh = bench_dense()
+        label = "dense engine"
+    else:
+        prt_s, th_s, rv_s = build(1)
+        t_serial = time_steps(prt_s, th_s, rv_s)
+        prt_m, th_m, rv_m = build(8)
+        t_mesh = time_steps(prt_m, th_m, rv_m)
+        label = "flat engine"
     print(f"# serial {t_serial*1e3:.1f} ms/step, 8-vdev mesh "
-          f"{t_mesh*1e3:.1f} ms/step", file=sys.stderr)
+          f"{t_mesh*1e3:.1f} ms/step ({label})", file=sys.stderr)
     print(json.dumps({
         "metric": "8-virtual-device mesh step-time ratio vs serial "
-                  f"(kinematic {NX}x{NZ} sd_conc={SD}, CPU)",
+                  f"(kinematic {NX}x{NZ} sd_conc={SD}, CPU, {label})",
         "serial_ms_per_step": round(t_serial * 1e3, 2),
         "mesh_ms_per_step": round(t_mesh * 1e3, 2),
         "ratio": round(t_mesh / t_serial, 3),
