@@ -92,8 +92,10 @@ class DenseState:
 
 
 def _supported(cfg: StaticConfig):
-    """The dense backend covers the production kinematic workload; the
-    long-tail option combinations stay on the flat engine."""
+    """The dense backend covers the production kinematic workload plus
+    const_p/th_std and every advection scheme; the long-tail option
+    combinations (ice/chem/SGS, exact/adaptive substepping) stay on the
+    flat engine."""
     if cfg.n_dims != 2:
         raise NotImplementedError("dense engine: 2-D only")
     if cfg.exact_sstp_cond or cfg.adaptive_sstp_cond:
@@ -102,10 +104,6 @@ def _supported(cfg: StaticConfig):
         raise NotImplementedError("dense engine: ice/chem/SGS not supported")
     if cfg.diag_incloud_time:
         raise NotImplementedError("dense engine: diag_incloud_time off only")
-    if not cfg.th_dry or cfg.const_p:
-        raise NotImplementedError("dense engine: th_dry, variable p only")
-    if as_t(cfg.adve_scheme) not in (as_t.implicit, as_t.euler):
-        raise NotImplementedError("dense engine: implicit/euler advection")
 
 
 # ------------------------------------------------------------------ pack/
@@ -230,11 +228,16 @@ def unpack(cfg: StaticConfig, d: DenseState, state: State) -> State:
 
 
 # --------------------------------------------------------------- cond ----
-def _Tpr(cfg: StaticConfig, th, rv, rhod):
-    """Per-cell T/p/RH/eta closure (hskpng_Tpr.ipp:219-305, th_dry path)."""
+def _Tpr(cfg: StaticConfig, th, rv, rhod, p0=None):
+    """Per-cell T/p/RH/eta closure (hskpng_Tpr.ipp:219-305): th_dry or
+    th_std+const_p (``p0`` is the fixed pressure profile)."""
+    from ..common import theta_std
     from ..common import vterm as cv
-    T = theta_dry.T(th, rhod)
-    p = theta_dry.p(rhod, rv, T)
+    if cfg.th_dry:
+        T = theta_dry.T(th, rhod)
+    else:
+        T = th * theta_std.exner(p0)
+    p = p0 if cfg.const_p else theta_dry.p(rhod, rv, T)
     RH = hskpng.RH_of(cfg, p, rv, T)
     eta = cv.visc(T)
     return T, p, RH, eta
@@ -270,7 +273,7 @@ def step_cond(cfg: StaticConfig, d: DenseState, th, rv, dt, RH_max):
         rw2, th, rv = carry
         th = th + delta_th / sstp
         rv = rv + delta_rv / sstp
-        T, p, RH, eta = _Tpr(cfg, th, rv, d.rhod)
+        T, p, RH, eta = _Tpr(cfg, th, rv, d.rhod, d.p)
         from .condensation import advance_rw2
         rw2_new = advance_rw2(
             dt_sub, rw2.ravel(), d.rd3.ravel(), d.kpa.ravel(),
@@ -287,7 +290,7 @@ def step_cond(cfg: StaticConfig, d: DenseState, th, rv, dt, RH_max):
         return rw2_new, th, rv
 
     rw2, th, rv = jax.lax.fori_loop(0, sstp, substep, (d.rw2, th0, rv0))
-    T, p, RH, eta = _Tpr(cfg, th, rv, d.rhod)
+    T, p, RH, eta = _Tpr(cfg, th, rv, d.rhod, d.p)
     d = dataclasses.replace(
         d, rw2=rw2, T=T, p=p, RH=RH, eta=eta,
         sstp_tmp_th=th, sstp_tmp_rv=rv,  # sstp_save (sstp_save.ipp:7-35)
@@ -547,11 +550,36 @@ def adve_sedi_bcnd(cfg: StaticConfig, d: DenseState, dt, do_sedi: bool,
         x = (d.x + cfg.dx * (row(C_l) - i_row * dCx)) / (1.0 - dCx)
         dCz = row(C_a - C_b)
         z = (d.z + cfg.dz * (row(C_b) - k_row * dCz)) / (1.0 - dCz)
-    else:  # euler
+    elif as_t(cfg.adve_scheme) == as_t.euler:
         dCx = row(C_r - C_l)
         x = d.x + dCx * (d.x - cfg.dx * i_row) + cfg.dx * row(C_l)
         dCz = row(C_a - C_b)
         z = d.z + dCz * (d.z - cfg.dz * k_row) + cfg.dz * row(C_b)
+    else:  # pred_corr (adve.ipp:184-304, mirroring transport.adve)
+        x_old, z_old = d.x, d.z
+        dCx = row(C_r - C_l)
+        x = d.x + dCx * (d.x - cfg.dx * i_row) + cfg.dx * row(C_l)
+        dCz = row(C_a - C_b)
+        z = d.z + dCz * (d.z - cfg.dz * k_row) + cfg.dz * row(C_b)
+        z = jnp.clip(z, cfg.z0 + 1e-8 * cfg.dz, cfg.z1 - 1e-8 * cfg.dz)
+        if x_wrap and not cfg.open_side_walls:
+            x_wr = cfg.x0 + jnp.remainder(x - cfg.x0, cfg.x1 - cfg.x0)
+            x_old = x_old + (x_wr - x)
+            x = x_wr
+        # corrector courants at the predictor cell — cross-row, so a
+        # per-SD gather into the SMALL staggered fields (the one gather
+        # the dense layout cannot turn into a broadcast)
+        ijk_mid = hskpng.ijk_of_xyz(cfg, x, x, z).astype(jnp.int32)
+        i_mid = (ijk_mid // nz).astype(d.x.dtype)
+        k_mid = (ijk_mid % nz).astype(d.x.dtype)
+        Cl_m = d.courant_x[ijk_mid]
+        Cr_m = d.courant_x[ijk_mid + nz]
+        Cb_m = d.courant_z[ijk_mid + (ijk_mid // nz)]
+        Ca_m = d.courant_z[ijk_mid + (ijk_mid // nz) + 1]
+        dx_ = (Cr_m - Cl_m) * (x - cfg.dx * i_mid) + cfg.dx * Cl_m
+        dz_ = (Ca_m - Cb_m) * (z - cfg.dz * k_mid) + cfg.dz * Cb_m
+        x = (x + x_old + dx_) / 2.0
+        z = (z + z_old + dz_) / 2.0
 
     if do_sedi:
         z = z - dt * d.vt
@@ -728,6 +756,13 @@ def resident_ok(cfg: StaticConfig, d: DenseState):
     if cfg.pure_const_multi:
         return False
     if d.n.dtype != jnp.float32:
+        return False
+    # the kernel implements the th_dry/variable-p closure and
+    # implicit/euler advection; const_p/th_std and pred_corr run the XLA
+    # dense pipeline
+    if not cfg.th_dry or cfg.const_p:
+        return False
+    if as_t(cfg.adve_scheme) not in (as_t.implicit, as_t.euler):
         return False
     # on-core PRNG has no CPU lowering — TPU only
     return jax.default_backend() == "tpu"

@@ -143,3 +143,71 @@ def test_dense_public_interleaved_diag_and_attrs():
             p.get_attr("up")
     finally:
         os.environ.pop("LIBCLOUD_ENGINE", None)
+
+
+@pytest.mark.parametrize("variant", ["const_p", "pred_corr"])
+def test_dense_public_widened_configs(variant):
+    """Round-4 widened dense coverage: const_p/th_std and pred_corr run
+    through the dense engine and match the flat engine exactly (no coal)."""
+    import jax.numpy as jnp
+    from libcloudphxx_tpu.common import theta_dry
+
+    def run(engine):
+        os.environ["LIBCLOUD_ENGINE"] = engine
+        try:
+            oi = lgrngn.opts_init_t()
+            oi.dry_distros = {(0.61, 0.0): lognormal}
+            oi.coal_switch = False
+            oi.sedi_switch = True
+            oi.terminal_velocity = lgrngn.vt_t.beard77
+            oi.dt = 1
+            oi.nx, oi.nz = NX, NZ
+            oi.dx = oi.dz = 100.0
+            oi.x1, oi.z1 = NX * 100.0, NZ * 100.0
+            oi.sd_conc = 16
+            oi.n_sd_max = 16 * NX * NZ
+            oi.sstp_cond = 2
+            if variant == "const_p":
+                oi.th_dry = False
+                oi.const_p = True
+            else:
+                oi.adve_scheme = lgrngn.as_t.pred_corr
+            opts = lgrngn.opts_t()
+            opts.adve = opts.cond = opts.sedi = True
+            opts.coal = opts.chem_dsl = False
+            rhod = np.ones((NX, NZ))
+            rv = 7.5e-3 * np.ones((NX, NZ))
+            if variant == "const_p":
+                T0 = 289.0 * np.ones((NX, NZ))
+                p0 = 90000.0 * np.ones((NX, NZ))
+                th = np.asarray(
+                    289.0 * (100000.0 / 90000.0) ** (287.0 / 1005.0)
+                ) * np.ones((NX, NZ))
+            else:
+                th = 289.0 * np.ones((NX, NZ))
+            Cx = 0.2 * np.ones((NX + 1, NZ))
+            Cz = -0.1 * np.ones((NX, NZ + 1))
+            p = lgrngn.factory(lgrngn.backend_t.serial, oi)
+            if variant == "const_p":
+                p.init(th, rv, rhod, p0, Cx=Cx, Cz=Cz)
+            else:
+                p.init(th, rv, rhod, Cx=Cx, Cz=Cz)
+            assert type(p).__name__ == (
+                "particles_dense_t" if engine == "dense" else "particles_t")
+            for _ in range(4):
+                p.step_sync(opts, th, rv, rhod)
+                p.step_async(opts)
+            p.diag_all(); p.diag_wet_mom(0); m0 = p.outbuf().copy()
+            p.diag_all(); p.diag_wet_mom(3); m3 = p.outbuf().copy()
+            p.diag_RH(); RH = p.outbuf().copy()
+            return th, rv, m0, m3, RH
+        finally:
+            os.environ.pop("LIBCLOUD_ENGINE", None)
+
+    th_d, rv_d, m0_d, m3_d, RH_d = run("dense")
+    th_f, rv_f, m0_f, m3_f, RH_f = run("flat")
+    np.testing.assert_allclose(th_d, th_f, rtol=1e-12)
+    np.testing.assert_allclose(rv_d, rv_f, rtol=1e-10)
+    np.testing.assert_allclose(m0_d, m0_f, rtol=1e-9)
+    np.testing.assert_allclose(m3_d, m3_f, rtol=1e-9)
+    np.testing.assert_allclose(RH_d, RH_f, rtol=1e-10)
