@@ -40,12 +40,25 @@ N_STEPS = 100
 
 
 def run_engine(model, engine, n_steps, reps=3):
-    """Best of ``reps`` timed runs: the shared TPU behind the tunnel shows
-    ~2x run-to-run variance, and the minimum is the machine's capability."""
+    """Best of ``reps`` timed runs of the SAME canonical from-init
+    workload: every rep restores the initial state, so each times the
+    identical program at the identical row capacity (re-packing an evolved
+    population grows the dense cap — 128 -> 256 at this workload — and
+    that doubles the per-step cost, which is a different workload, not
+    variance).  The shared TPU behind the tunnel shows ~2x run-to-run
+    spread; the minimum is the machine's capability."""
+    state0 = model.prtcls.state
+    th0, rv0 = model.th.copy(), model.rv.copy()
+
+    def reset():
+        model.prtcls.state = state0
+        model.th, model.rv = th0.copy(), rv0.copy()
+
     model.run_device_lgrngn(n_steps, engine=engine)  # compile + warm
     print(f"# warmup done ({engine})", file=sys.stderr, flush=True)
     best = float("inf")
     for _ in range(reps):
+        reset()
         t0 = time.perf_counter()
         model.run_device_lgrngn(n_steps, engine=engine)
         jax.block_until_ready(model.prtcls.state.th)
@@ -53,6 +66,7 @@ def run_engine(model, engine, n_steps, reps=3):
         print(f"# rep: {elapsed/n_steps*1e3:.2f} ms/step",
               file=sys.stderr, flush=True)
         best = min(best, elapsed)
+    reset()
     return best
 
 
