@@ -65,6 +65,7 @@ class DenseState:
     vt: jax.Array
     x: jax.Array
     z: jax.Array
+    y: jax.Array               # (n_cell, cap) in 3-D, (0, 0) otherwise
     # --- per-cell fields (n_cell,)
     rhod: jax.Array
     p: jax.Array
@@ -76,6 +77,7 @@ class DenseState:
     sstp_tmp_rv: jax.Array
     # --- courant fields, flattened staggered layout (same as State)
     courant_x: jax.Array
+    courant_y: jax.Array       # empty outside 3-D
     courant_z: jax.Array
     # --- bookkeeping
     key: jax.Array
@@ -96,14 +98,17 @@ def _supported(cfg: StaticConfig):
     const_p/th_std and every advection scheme; the long-tail option
     combinations (ice/chem/SGS, exact/adaptive substepping) stay on the
     flat engine."""
-    if cfg.n_dims != 2:
-        raise NotImplementedError("dense engine: 2-D only")
+    if cfg.n_dims not in (2, 3):
+        raise NotImplementedError("dense engine: 2-D/3-D only")
     if cfg.exact_sstp_cond or cfg.adaptive_sstp_cond:
         raise NotImplementedError("dense engine: percell substepping only")
     if cfg.ice_switch or cfg.chem_switch or cfg.turb_cond_switch:
         raise NotImplementedError("dense engine: ice/chem/SGS not supported")
     if cfg.diag_incloud_time:
         raise NotImplementedError("dense engine: diag_incloud_time off only")
+    if cfg.n_dims == 3 and as_t(cfg.adve_scheme) == as_t.pred_corr:
+        raise NotImplementedError(
+            "dense engine: pred_corr is 2-D only (flat engine covers 3-D)")
 
 
 # ------------------------------------------------------------------ pack/
@@ -185,18 +190,27 @@ def _distribute(cfg: StaticConfig, cap, cell, vals):
 _ATTRS = ("n", "rw2", "rd3", "kpa", "vt", "x", "z")
 
 
+def attrs_of(cfg: StaticConfig):
+    """Per-SD planes of the dense layout for this config (y in 3-D)."""
+    return _ATTRS + (("y",) if cfg.n_dims == 3 else ())
+
+
 def pack(cfg: StaticConfig, state: State, cap: int) -> DenseState:
     """Flat State -> DenseState (one global sort + scatter)."""
     _supported(cfg)
+    attrs = attrs_of(cfg)
     cell = jnp.where(state.n > 0, state.ijk, cfg.n_cell)
-    vals = tuple(getattr(state, a) for a in _ATTRS)
+    vals = tuple(getattr(state, a) for a in attrs)
     dense_vals, overflow = _distribute(cfg, cap, cell, vals)
-    d = dict(zip(_ATTRS, dense_vals))
+    d = dict(zip(attrs, dense_vals))
+    if cfg.n_dims != 3:
+        d["y"] = jnp.zeros((0, 0), state.x.dtype)
     return DenseState(
         rhod=state.rhod, p=state.p, T=state.T, RH=state.RH, eta=state.eta,
         dv=state.dv,
         sstp_tmp_th=state.sstp_tmp_th, sstp_tmp_rv=state.sstp_tmp_rv,
-        courant_x=state.courant_x, courant_z=state.courant_z,
+        courant_x=state.courant_x, courant_y=state.courant_y,
+        courant_z=state.courant_z,
         key=state.key, puddle=state.puddle, overflow=overflow, **d,
     )
 
@@ -207,16 +221,17 @@ def unpack(cfg: StaticConfig, d: DenseState, state: State) -> State:
     The caller must ensure the alive population fits n_sd_max (it always
     does: stepping never creates SDs)."""
     n_cell, cap = d.n.shape
-    flat = {a: getattr(d, a).reshape(-1) for a in _ATTRS}
+    attrs = attrs_of(cfg)
+    flat = {a: getattr(d, a).reshape(-1) for a in attrs}
     alive = flat["n"] > 0
     ijk = jnp.where(
         alive,
         jnp.repeat(jnp.arange(n_cell, dtype=jnp.int32), cap), 0)
     deadkey = (~alive).astype(jnp.int32)
     sorted_ = jax.lax.sort(
-        (deadkey, ijk) + tuple(flat[a] for a in _ATTRS), num_keys=1)
+        (deadkey, ijk) + tuple(flat[a] for a in attrs), num_keys=1)
     n_sd = state.n_sd_max
-    upd = {a: sorted_[2 + i][:n_sd] for i, a in enumerate(_ATTRS)}
+    upd = {a: sorted_[2 + i][:n_sd] for i, a in enumerate(attrs)}
     upd["ijk"] = sorted_[1][:n_sd]
     return dataclasses.replace(
         state,
@@ -420,10 +435,11 @@ def coal_substep(cfg: StaticConfig, d: DenseState, params, dt, key,
     alive = d.n > 0
     skey = jnp.where(alive, u, 2.0)
 
-    sorted_ = jax.lax.sort(
-        (skey, d.n, d.rw2, d.rd3, d.kpa, d.vt, d.x, d.z),
-        dimension=1, num_keys=1)
+    ops = (skey, d.n, d.rw2, d.rd3, d.kpa, d.vt, d.x, d.z) \
+        + ((d.y,) if cfg.n_dims == 3 else ())
+    sorted_ = jax.lax.sort(ops, dimension=1, num_keys=1)
     x_s, z_s = sorted_[6], sorted_[7]
+    y_s = sorted_[8] if cfg.n_dims == 3 else d.y
     vt_a = sorted_[5]
 
     count = jnp.sum(alive, axis=1).astype(d.n.dtype)[:, None]
@@ -440,8 +456,8 @@ def coal_substep(cfg: StaticConfig, d: DenseState, params, dt, key,
         puddle = puddle.at[OUT_COAL_OVERFLOW].max(
             ovf.astype(puddle.dtype))
     return dataclasses.replace(
-        d, n=n_s, rw2=rw2_s, rd3=rd3_s, kpa=kpa_s, vt=vt_a, x=x_s, z=z_s,
-        puddle=puddle)
+        d, n=n_s, rw2=rw2_s, rd3=rd3_s, kpa=kpa_s, vt=vt_a, x=x_s, y=y_s,
+        z=z_s, puddle=puddle)
 
 
 def _coal_pallas_ok(cfg: StaticConfig, d: DenseState):
@@ -513,10 +529,19 @@ def coal(cfg: StaticConfig, d: DenseState, params, dt, sstp_coal: int):
 
 # ---------------------------------------------------------- transport ----
 def _row_courants(cfg: StaticConfig, d: DenseState):
-    """Per-cell left/right/below/above courants as (n_cell,) slices of the
-    staggered fields — the dense replacement for the per-SD courant gathers
-    (reference init_grid.ipp:94-155 lft/rgt/blw/abv)."""
+    """Per-cell left/right(/front/hind)/below/above courants as (n_cell,)
+    slices of the staggered fields — the dense replacement for the per-SD
+    courant gathers (reference init_grid.ipp:94-155 lft/rgt/fre/hnd/blw/
+    abv).  Returns (C_l, C_r, C_b, C_a) in 2-D, plus (C_f, C_h) in 3-D."""
     nx, nz = cfg.nx, cfg.nz
+    if cfg.n_dims == 3:
+        ny = cfg.ny
+        cx = d.courant_x.reshape(nx + 1, ny, nz)
+        cy = d.courant_y.reshape(nx, ny + 1, nz)
+        cz = d.courant_z.reshape(nx, ny, nz + 1)
+        return (cx[:-1].reshape(-1), cx[1:].reshape(-1),
+                cz[:, :, :-1].reshape(-1), cz[:, :, 1:].reshape(-1),
+                cy[:, :-1].reshape(-1), cy[:, 1:].reshape(-1))
     cx = d.courant_x.reshape(nx + 1, nz)
     cz = d.courant_z.reshape(nx, nz + 1)
     C_l = cx[:-1, :].reshape(-1)
@@ -536,12 +561,27 @@ def adve_sedi_bcnd(cfg: StaticConfig, d: DenseState, dt, do_sedi: bool,
     Cell->SD courant reads are row broadcasts of sliced staggered fields."""
     n_cell, cap = d.n.shape
     nz = cfg.nz
+    ny = max(1, cfg.ny)
     idx = jnp.arange(n_cell, dtype=jnp.int32)
-    i_row = (idx // nz)[:, None].astype(d.x.dtype)
+    i_row = (idx // (nz * ny))[:, None].astype(d.x.dtype)
+    j_row = ((idx // nz) % ny)[:, None].astype(d.x.dtype)
     k_row = (idx % nz)[:, None].astype(d.x.dtype)
 
-    C_l, C_r, C_b, C_a = _row_courants(cfg, d)
+    if cfg.n_dims == 3:
+        C_l, C_r, C_b, C_a, C_f, C_h = _row_courants(cfg, d)
+    else:
+        C_l, C_r, C_b, C_a = _row_courants(cfg, d)
     row = lambda a: a[:, None]
+
+    y = d.y
+    if do_adve and cfg.n_dims == 3:
+        # y axis (fre/hnd faces), same schemes as x
+        if as_t(cfg.adve_scheme) == as_t.implicit:
+            dCy = row(C_h - C_f)
+            y = (d.y + cfg.dy * (row(C_f) - j_row * dCy)) / (1.0 - dCy)
+        else:
+            dCy = row(C_h - C_f)
+            y = d.y + dCy * (d.y - cfg.dy * j_row) + cfg.dy * row(C_f)
 
     if not do_adve:
         x, z = d.x, d.z
@@ -597,6 +637,12 @@ def adve_sedi_bcnd(cfg: StaticConfig, d: DenseState, dt, do_sedi: bool,
         x = cfg.x0 + jnp.remainder(x - cfg.x0, cfg.x1 - cfg.x0)
     else:
         n = jnp.where((x >= cfg.x1) | (x < cfg.x0), 0.0, n)
+    # y side walls (3-D; bcnd.ipp treats y like x)
+    if cfg.n_dims == 3:
+        if not cfg.open_side_walls:
+            y = cfg.y0 + jnp.remainder(y - cfg.y0, cfg.y1 - cfg.y0)
+        else:
+            n = jnp.where((y >= cfg.y1) | (y < cfg.y0), 0.0, n)
     # z walls
     if cfg.periodic_topbot_walls:
         z = cfg.z0 + jnp.remainder(z - cfg.z0, cfg.z1 - cfg.z0)
@@ -615,7 +661,7 @@ def adve_sedi_bcnd(cfg: StaticConfig, d: DenseState, dt, do_sedi: bool,
         puddle = puddle.at[OUT_PRTCL_NUM].add(jnp.sum(nf))
         n = jnp.where(fell, 0.0, n)
 
-    return dataclasses.replace(d, x=x, z=z, n=n, puddle=puddle)
+    return dataclasses.replace(d, x=x, y=y, z=z, n=n, puddle=puddle)
 
 
 def _rebin_global(cfg: StaticConfig, d: DenseState, tgt) -> DenseState:
@@ -624,10 +670,11 @@ def _rebin_global(cfg: StaticConfig, d: DenseState, tgt) -> DenseState:
     cell jumps; ~145 ms/step at bench shape on the v5e — kept as the exact
     fallback for SDs that move more than one cell per axis per step."""
     n_cell, cap = d.n.shape
-    flat = tuple(getattr(d, a).reshape(-1) for a in _ATTRS)
+    attrs = attrs_of(cfg)
+    flat = tuple(getattr(d, a).reshape(-1) for a in attrs)
     cell = jnp.where(flat[0] > 0, tgt.reshape(-1), n_cell).astype(jnp.int32)
     dense_vals, overflow = _distribute(cfg, cap, cell, flat)
-    upd = dict(zip(_ATTRS, dense_vals))
+    upd = dict(zip(attrs, dense_vals))
     return dataclasses.replace(d, overflow=d.overflow + overflow, **upd)
 
 
@@ -658,46 +705,56 @@ def _shift_merge(planes, key, match, shift):
 def _rebin_neighbor(cfg: StaticConfig, d: DenseState, tgt) -> DenseState:
     """CFL-bounded redistribution: under |courant| <= 1 (and sedimentation
     < dz per dt) an SD moves at most ONE cell per axis per STEP, so
-    post-transport re-binning only needs adjacent-row exchange — two
-    roll+mask+lane-sort passes (z axis, then x axis) instead of the global
-    740k-element sort + 8 random-index gathers.
+    post-transport re-binning only needs adjacent-row exchange — one
+    roll+mask+lane-sort pass per axis (z, then y in 3-D, then x) instead
+    of the global sort + 8 random-index gathers.
 
     Reference analog: the sorted-flag discipline around hskpng_ijk
     (particles_impl_hskpng_ijk.ipp:86-253, particles_impl.ipp:153) — the
     reference re-sorts lazily; here the dense layout re-bins structurally.
 
-    Row index is i*nz + k: z-neighbours are row±1 (never wrapping for alive
-    SDs — walls remove/wrap positions first), x-neighbours are row±nz with
+    Row index is (i*ny + j)*nz + k: z-neighbours are row±1 and
+    y-neighbours row±nz (neither wraps for alive SDs — wrap moves hit the
+    global fallback in rebin()); x-neighbours are row±ny*nz with
     jnp.roll's mod-n_cell wraparound implementing x-periodicity exactly."""
     n_cell, cap = d.n.shape
-    nz = cfg.nz
-    planes = tuple(getattr(d, a) for a in _ATTRS)
+    nz = max(1, cfg.nz)
+    ny = max(1, cfg.ny)
+    attrs = attrs_of(cfg)
+    planes = tuple(getattr(d, a) for a in attrs)
     alive = d.n > 0
     rows = jax.lax.broadcasted_iota(jnp.int32, tgt.shape, 0)
-    # phase-z target: fix k first, keep own i (tgt and rows share i here
-    # only when the SD moves within its column; in general
-    # ztgt = rows - k + new_k)
-    ztgt = rows - (rows % nz) + (tgt % nz)
 
     n_alive0 = jnp.sum(jnp.where(alive, 1, 0))
 
-    # --- phase z: shifts {0, +1, -1}
-    merged, key = _shift_merge(planes + (tgt,), alive, ztgt, (0, 1, -1))
-    sorted_ = jax.lax.sort((key,) + merged, dimension=1, num_keys=1)
-    planes = tuple(p[:, :cap] for p in sorted_[1:1 + len(_ATTRS)])
-    tgt = sorted_[1 + len(_ATTRS)][:, :cap]
-    alive = sorted_[0][:, :cap] == 0
-    planes = (jnp.where(alive, planes[0], 0.0),) + planes[1:]
+    # per-phase intermediate targets: fix k, then j, then i
+    def phase_tgt(rows_now, tgt_now, axis):
+        if axis == "z":
+            return rows_now + (tgt_now % nz - rows_now % nz)
+        if axis == "y":
+            return rows_now + ((tgt_now // nz) % ny
+                               - (rows_now // nz) % ny) * nz
+        return tgt_now  # x: the final row
 
-    # --- phase x: shifts {0, +nz, -nz} (mod n_cell == x-periodic)
-    merged, key = _shift_merge(planes, alive, tgt, (0, nz, -nz))
-    sorted_ = jax.lax.sort((key,) + merged, dimension=1, num_keys=1)
-    planes = tuple(p[:, :cap] for p in sorted_[1:])
-    alive = sorted_[0][:, :cap] == 0
-    planes = (jnp.where(alive, planes[0], 0.0),) + planes[1:]
+    phases = [("z", (0, 1, -1))]
+    if cfg.n_dims == 3:
+        phases.append(("y", (0, nz, -nz)))
+    phases.append(("x", (0, ny * nz, -(ny * nz))))
+
+    for axis, shifts in phases:
+        ptgt = phase_tgt(rows, tgt, axis)
+        last = axis == phases[-1][0]
+        carry = planes if last else planes + (tgt,)
+        merged, key = _shift_merge(carry, alive, ptgt, shifts)
+        sorted_ = jax.lax.sort((key,) + merged, dimension=1, num_keys=1)
+        planes = tuple(p[:, :cap] for p in sorted_[1:1 + len(attrs)])
+        if not last:
+            tgt = sorted_[1 + len(attrs)][:, :cap]
+        alive = sorted_[0][:, :cap] == 0
+        planes = (jnp.where(alive, planes[0], 0.0),) + planes[1:]
 
     n_alive1 = jnp.sum(jnp.where(alive, 1, 0))
-    upd = dict(zip(_ATTRS, planes))
+    upd = dict(zip(attrs, planes))
     return dataclasses.replace(
         d, overflow=d.overflow + (n_alive0 - n_alive1), **upd)
 
@@ -712,20 +769,25 @@ def rebin(cfg: StaticConfig, d: DenseState) -> DenseState:
     LIBCLOUD_DENSE_REBIN=global forces the old path for A/B."""
     import os
     n_cell, cap = d.n.shape
-    nz, nx = cfg.nz, cfg.nx
+    nz, ny, nx = cfg.nz, max(1, cfg.ny), cfg.nx
     alive = d.n > 0
-    tgt = hskpng.ijk_of_xyz(cfg, d.x, d.x, d.z).astype(jnp.int32)
+    yy = d.y if cfg.n_dims == 3 else d.x
+    tgt = hskpng.ijk_of_xyz(cfg, d.x, yy, d.z).astype(jnp.int32)
     tgt = jnp.where(alive, tgt, n_cell)  # dead slots match no row
 
     if os.environ.get("LIBCLOUD_DENSE_REBIN", "neighbor") == "global" \
-            or nx < 3 or nz < 3:
+            or nx < 3 or nz < 3 or (cfg.n_dims == 3 and ny < 3):
         # tiny grids: roll shifts alias (|shift| >= n_cell/2) — stay global
         return _rebin_global(cfg, d, tgt)
 
     rows = jax.lax.broadcasted_iota(jnp.int32, tgt.shape, 0)
     dk = jnp.abs(tgt % nz - rows % nz)
-    di = (tgt // nz - rows // nz) % nx
+    di = (tgt // (ny * nz) - rows // (ny * nz)) % nx
     covered = (dk <= 1) & ((di == 0) | (di == 1) | (di == nx - 1))
+    if cfg.n_dims == 3:
+        # y moves must be strictly adjacent (y wrap -> global fallback)
+        dj = jnp.abs((tgt // nz) % ny - (rows // nz) % ny)
+        covered = covered & (dj <= 1)
     all_covered = jnp.all(jnp.where(alive, covered, True))
     return jax.lax.cond(
         all_covered,
@@ -757,9 +819,11 @@ def resident_ok(cfg: StaticConfig, d: DenseState):
         return False
     if d.n.dtype != jnp.float32:
         return False
-    # the kernel implements the th_dry/variable-p closure and
-    # implicit/euler advection; const_p/th_std and pred_corr run the XLA
-    # dense pipeline
+    # the kernel implements the 2-D th_dry/variable-p closure and
+    # implicit/euler advection; 3-D, const_p/th_std and pred_corr run the
+    # XLA dense pipeline
+    if cfg.n_dims != 2:
+        return False
     if not cfg.th_dry or cfg.const_p:
         return False
     if as_t(cfg.adve_scheme) not in (as_t.implicit, as_t.euler):

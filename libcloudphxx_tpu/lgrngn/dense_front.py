@@ -43,7 +43,7 @@ _step_async_dense = jax.jit(
 # per-SD attributes carried through the dense layout; the rest keep a stale
 # (pre-pack) ordering once dense stepping has run — loudly rejected in
 # get_attr rather than silently wrong
-_CARRIED = {"n", "rw2", "rd3", "kpa", "kappa", "x", "z", "vt"}
+_CARRIED = {"n", "rw2", "rd3", "kpa", "kappa", "x", "y", "z", "vt"}
 
 
 def dense_capable(cfg: StaticConfig) -> bool:

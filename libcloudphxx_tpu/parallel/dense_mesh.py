@@ -151,9 +151,10 @@ def dense_specs():
     return DenseState(
         n=P("x", None), rw2=P("x", None), rd3=P("x", None),
         kpa=P("x", None), vt=P("x", None), x=P("x", None), z=P("x", None),
+        y=P(),                      # 2-D mesh: empty plane, replicated
         rhod=P("x"), p=P("x"), T=P("x"), RH=P("x"), eta=P("x"), dv=P("x"),
         sstp_tmp_th=P("x"), sstp_tmp_rv=P("x"),
-        courant_x=P("x"), courant_z=P("x"),
+        courant_x=P("x"), courant_y=P(), courant_z=P("x"),
         key=P("x"), puddle=P("x"), overflow=P("x"))
 
 
@@ -212,7 +213,9 @@ def scatter_dense(cfg: StaticConfig, d: DenseState, n_shards: int,
     keys = np.stack([np.asarray(jax.random.fold_in(d.key, s))
                      for s in range(n_shards)])
     return DenseState(
+        y=jnp.zeros((0, 0), np.asarray(d.x).dtype),
         courant_x=jnp.asarray(cx.reshape(-1)),
+        courant_y=jnp.zeros((0,)),
         courant_z=jnp.asarray(cz.reshape(-1)),
         key=jnp.asarray(keys.reshape(-1)),
         puddle=jnp.zeros((n_shards * np.asarray(d.puddle).shape[0],),

@@ -211,3 +211,71 @@ def test_dense_public_widened_configs(variant):
     np.testing.assert_allclose(m0_d, m0_f, rtol=1e-9)
     np.testing.assert_allclose(m3_d, m3_f, rtol=1e-9)
     np.testing.assert_allclose(RH_d, RH_f, rtol=1e-10)
+
+
+@pytest.mark.parametrize("do_coal", [False, True])
+def test_dense_public_3d(do_coal):
+    """Round-4: the dense engine runs 3-D through the public factory path
+    (row = (i*ny+j)*nz + k; rebin phases z -> y -> x) and matches the flat
+    engine — exactly with coalescence off, conservatively with it on."""
+    N = 4
+
+    def run(engine):
+        os.environ["LIBCLOUD_ENGINE"] = engine
+        try:
+            oi = lgrngn.opts_init_t()
+            oi.dry_distros = {(0.61, 0.0): lognormal}
+            oi.coal_switch = do_coal
+            if do_coal:
+                oi.kernel = lgrngn.kernel_t.geometric
+            oi.terminal_velocity = lgrngn.vt_t.beard77
+            oi.sedi_switch = True
+            oi.dt = 1
+            oi.nx = oi.ny = oi.nz = N
+            oi.dx = oi.dy = oi.dz = 100.0
+            oi.x1 = oi.y1 = oi.z1 = N * 100.0
+            oi.sd_conc = 16
+            oi.n_sd_max = 16 * N**3
+            oi.sstp_cond = 2
+            oi.sstp_coal = 2
+            opts = lgrngn.opts_t()
+            opts.adve = opts.cond = opts.sedi = True
+            opts.coal = do_coal
+            opts.chem_dsl = False
+            rhod = np.ones((N, N, N))
+            th = 289.0 * np.ones((N, N, N))
+            rv = 7.5e-3 * np.ones((N, N, N))
+            Cx = 0.2 * np.ones((N + 1, N, N))
+            Cy = -0.15 * np.ones((N, N + 1, N))
+            Cz = -0.1 * np.ones((N, N, N + 1))
+            p = lgrngn.factory(lgrngn.backend_t.serial, oi)
+            p.init(th, rv, rhod, Cx=Cx, Cy=Cy, Cz=Cz)
+            assert type(p).__name__ == (
+                "particles_dense_t" if engine == "dense" else "particles_t")
+            for _ in range(4):
+                p.step_sync(opts, th, rv, rhod)
+                p.step_async(opts)
+            p.diag_all(); p.diag_sd_conc(); sd = p.outbuf().copy()
+            p.diag_all(); p.diag_wet_mom(0); m0 = p.outbuf().copy()
+            p.diag_all(); p.diag_wet_mom(3); m3 = p.outbuf().copy()
+            n = p.get_attr("n"); y = p.get_attr("y")
+            return th, rv, sd, m0, m3, n[n > 0].sum(), y[n > 0]
+        finally:
+            os.environ.pop("LIBCLOUD_ENGINE", None)
+
+    th_d, rv_d, sd_d, m0_d, m3_d, tot_d, y_d = run("dense")
+    th_f, rv_f, sd_f, m0_f, m3_f, tot_f, y_f = run("flat")
+    if not do_coal:
+        np.testing.assert_allclose(th_d, th_f, rtol=1e-12)
+        np.testing.assert_allclose(rv_d, rv_f, rtol=1e-10)
+        np.testing.assert_allclose(m0_d, m0_f, rtol=1e-9)
+        np.testing.assert_allclose(m3_d, m3_f, rtol=1e-9)
+        np.testing.assert_array_equal(sd_d, sd_f)
+        # row-broadcast vs per-SD-gather arithmetic differs at 1 ulp
+        np.testing.assert_allclose(np.sort(y_d), np.sort(y_f), rtol=1e-12)
+    else:
+        np.testing.assert_allclose(th_d, th_f, rtol=1e-5)
+        assert tot_d == pytest.approx(tot_f, rel=5e-2)
+        np.testing.assert_allclose(m3_d.sum(), m3_f.sum(), rtol=1e-2)
+    # y advection really moved SDs off the injection values
+    assert np.unique(np.round(y_d, 6)).size > N
