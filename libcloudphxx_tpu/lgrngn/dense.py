@@ -832,44 +832,88 @@ def resident_ok(cfg: StaticConfig, d: DenseState):
     return jax.default_backend() == "tpu"
 
 
+def rebin_block_rows(cfg: StaticConfig, limit: int = 512):
+    """Row-block size for the in-kernel re-binning: a whole number of
+    x-columns (multiple of nz) dividing n_cell, as close to ``limit`` rows
+    as divisibility allows (q=1 always works).  The x-merge kernel reads a
+    3-block window (24 VMEM input blocks), so it gets a smaller limit to
+    stay inside the 16 MB scoped-VMEM budget."""
+    q = 1
+    for cand in range(2, cfg.nx + 1):
+        if cfg.nx % cand == 0 and cand * cfg.nz <= limit:
+            q = cand
+    return q * cfg.nz
+
+
 def step_fused(cfg: StaticConfig, d: DenseState, th_adv, rv_adv, params, dt,
                RH_max, sstp_coal: int, do_coal: bool,
                do_sedi: bool):
     """The whole microphysics step — condensation substeps, coalescence
-    substeps, advection/sedimentation/walls — as ONE resident Pallas kernel
-    (ops/pallas_step), followed by the cross-row re-binning in XLA.
+    substeps, advection/sedimentation/walls, and the z phase of the
+    re-binning — as ONE resident Pallas kernel (ops/pallas_step), the x
+    phase as a second small merge kernel.  SDs that outran the CFL bound
+    (or overflowed the mover windows) are flagged by the kernel and fixed
+    by one exact global-sort re-bin (positions are never changed by
+    binning, so re-binning from positions is always exact).
+    LIBCLOUD_REBIN_KERNEL=0 restores the XLA neighbour re-bin for A/B.
 
     Same phase order as step_cond + step_async (reference
     particles_step.ipp:161-494); returns (DenseState, th, rv)."""
-    from ..ops.pallas_step import step_resident
+    import os
+    from ..ops.pallas_step import rebin_x, step_resident
     from .state import OUT_DRY_VOL, OUT_LIQ_NUM, OUT_LIQ_VOL, OUT_PRTCL_NUM
+
+    kernel_rebin = os.environ.get("LIBCLOUD_REBIN_KERNEL", "1") == "1"
+    block_rows = rebin_block_rows(cfg) if kernel_rebin else 128
 
     key, sub = jax.random.split(d.key)
     seed = jax.random.randint(sub, (), 0, jnp.int32(2**31 - 1))
     lam_D, lam_K = hskpng.hskpng_mfp(d.T, d.p)  # stale, see step_cond
     C_l, C_r, C_b, C_a = _row_courants(cfg, d)
 
-    (n, rw2, rd3, kpa, vt, x, z, th, rv, T, p, RH, eta,
-     pud4) = step_resident(
+    (n, rw2, rd3, kpa, vt, x, z, xkey, th, rv, T, p, RH, eta,
+     pud) = step_resident(
         cfg, int(cfg.sstp_cond), int(sstp_coal), float(dt), float(RH_max),
         bool(do_coal), bool(do_sedi), False, seed, params,
         d.n, d.rw2, d.rd3, d.kpa, d.x, d.z,
         th_adv, rv_adv, d.sstp_tmp_th, d.sstp_tmp_rv, d.rhod, d.dv,
-        lam_D, lam_K, C_l, C_r, C_b, C_a, jnp.zeros_like(d.rhod))
+        lam_D, lam_K, C_l, C_r, C_b, C_a, jnp.zeros_like(d.rhod),
+        block_rows=block_rows, do_rebin=kernel_rebin)
 
     puddle = d.puddle
-    pud4 = pud4.astype(puddle.dtype)
-    puddle = puddle.at[OUT_LIQ_VOL].add(pud4[0])
-    puddle = puddle.at[OUT_DRY_VOL].add(pud4[1])
-    puddle = puddle.at[OUT_LIQ_NUM].add(pud4[2])
-    puddle = puddle.at[OUT_PRTCL_NUM].add(pud4[3])
+    pud = pud.astype(puddle.dtype)
+    puddle = puddle.at[OUT_LIQ_VOL].add(pud[0])
+    puddle = puddle.at[OUT_DRY_VOL].add(pud[1])
+    puddle = puddle.at[OUT_LIQ_NUM].add(pud[2])
+    puddle = puddle.at[OUT_PRTCL_NUM].add(pud[3])
 
+    if not kernel_rebin:
+        d = dataclasses.replace(
+            d, n=n, rw2=rw2, rd3=rd3, kpa=kpa, vt=vt, x=x, z=z,
+            T=T, p=p, RH=RH, eta=eta,
+            sstp_tmp_th=th, sstp_tmp_rv=rv,
+            key=key, puddle=puddle)
+        return rebin(cfg, d), th, rv
+
+    n, rw2, rd3, kpa, vt, x, z, drops_x = rebin_x(
+        cfg, n, rw2, rd3, kpa, vt, x, z, xkey,
+        block_rows=rebin_block_rows(cfg, limit=256))
     d = dataclasses.replace(
         d, n=n, rw2=rw2, rd3=rd3, kpa=kpa, vt=vt, x=x, z=z,
         T=T, p=p, RH=RH, eta=eta,
         sstp_tmp_th=th, sstp_tmp_rv=rv,
-        key=key, puddle=puddle)
-    return rebin(cfg, d), th, rv
+        key=key, puddle=puddle,
+        overflow=d.overflow + (pud[5] + drops_x).astype(d.overflow.dtype))
+    # far movers / window overflows are rare (sedi > dz per dt, or > cap/2
+    # of a row's SDs crossing the same face): one exact global re-bin from
+    # positions repairs them
+    def fix(dd):
+        alive = dd.n > 0
+        tgt = hskpng.ijk_of_xyz(cfg, dd.x, dd.x, dd.z).astype(jnp.int32)
+        return _rebin_global(cfg, dd, jnp.where(alive, tgt, cfg.n_cell))
+
+    d = jax.lax.cond(pud[4] > 0, fix, lambda dd: dd, d)
+    return d, th, rv
 
 
 def step_async(cfg: StaticConfig, d: DenseState, params, dt,

@@ -50,14 +50,15 @@ _CELL_VECS = 15         # thadv rvadv th0 rv0 rhod dv lamD lamK Cl Cr Cb Ca
 
 
 def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
-            do_subs, block_rows,
+            do_subs, block_rows, do_rebin,
             seed_ref, params_ref,
             n_ref, rw2_ref, rd3_ref, kpa_ref, x_ref, z_ref,
             thadv_ref, rvadv_ref, th0_ref, rv0_ref, rhod_ref, dv_ref,
             lamD_ref, lamK_ref, cl_ref, cr_ref, cb_ref, ca_ref,
             irow_ref, krow_ref, wls_ref,
             n_out, rw2_out, rd3_out, kpa_out, vt_out, x_out, z_out,
-            th_out, rv_out, T_out, p_out, RH_out, eta_out, puddle_out):
+            xkey_out, th_out, rv_out, T_out, p_out, RH_out, eta_out,
+            puddle_out):
     from ..common import constants as c
     from ..common import theta_dry
     from ..common import vterm as cv
@@ -206,6 +207,98 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
         prt_num = jnp.sum(nf)
         n = jnp.where(fell, 0.0, n)
 
+    # ---------------- in-kernel re-binning: z phase ----------------------
+    # (the post_copy hskpng_ijk equivalent, post_copy.ipp:18-36, done as
+    # structural exchange like lgrngn/dense._rebin_neighbor but in VMEM:
+    # classify dk = k_tgt - k, compact movers to the lane front with one
+    # bitonic pass, merge [self-stays | ups from row-1 | downs from row+1]
+    # and re-compact.  Alive z-movers never wrap x-columns (the walls just
+    # above kill every SD leaving [z0, z1)), so the axis-0 rolls need no
+    # masking at column boundaries as long as each block is a whole number
+    # of x-columns (block_rows % nz == 0, enforced by step_resident).
+    far_flag = jnp.float32(0.0)
+    drops = jnp.float32(0.0)
+    if do_rebin:
+        cap = n.shape[1]
+        M = cap // 2
+        nz_f = jnp.float32(cfg.nz)
+        nx_f = jnp.float32(cfg.nx)
+        alive = n > 0
+        # same cell math as hskpng.ijk_of_xyz at f32 (the grid starts at 0,
+        # not x0 — init_grid.ipp:33-52)
+        k_tgt = jnp.clip(jnp.floor(z / dz), 0.0, nz_f - 1.0)
+        dk = k_tgt - k_row
+        far_z = alive & (jnp.abs(dk) > 1.0)
+        f32 = jnp.float32
+        zkey = jnp.where(alive & (dk == 1.0), f32(0.0),
+                         jnp.where(alive & (dk == -1.0), f32(1.0),
+                                   jnp.where(alive, f32(2.0), f32(3.0))))
+        zkey = jnp.where(far_z, f32(2.0), zkey)  # stay put; global-rebin fixes
+        zkey, (n, rw2, rd3, kpa, vt, x, z) = bitonic_sort_rows(
+            zkey, (n, rw2, rd3, kpa, vt, x, z))
+        lane = jax.lax.broadcasted_iota(jnp.int32, zkey.shape, 1)
+        in_win = (lane < M).astype(jnp.float32)
+        nmov = jnp.sum(jnp.where(zkey < 2.0, f32(1.0), f32(0.0)),
+                       axis=1, keepdims=True)
+        win_ovf = jnp.max(jnp.where(nmov > M, f32(1.0), f32(0.0)))
+
+        planes = (n, rw2, rd3, kpa, vt, x, z)
+        # movers beyond the transfer window stay in place (flagged)
+        keep = jnp.where(zkey == 2.0, f32(1.0), f32(0.0)) \
+            + jnp.where(zkey < 2.0, f32(1.0), f32(0.0)) * (1.0 - in_win)
+        # pltpu.roll: the dedicated sublane-rotate primitive — jnp.roll
+        # along axis 0 leaves a sublane-offset layout Mosaic cannot feed
+        # into tpu.concatenate
+        rows_blk = zkey.shape[0]
+        roll0 = lambda a, sh: pltpu.roll(a, shift=sh % rows_blk, axis=0)
+        up_k = roll0(zkey, 1)      # row r-1's SDs at row r
+        dn_k = roll0(zkey, -1)
+        sel_up = jnp.where(up_k == 0.0, f32(1.0), f32(0.0)) * in_win
+        sel_dn = jnp.where(dn_k == 1.0, f32(1.0), f32(0.0)) * in_win
+
+        # ups (masked to lanes < M) and downs (rotated into lanes
+        # [M, 2M)) pack into ONE full-width segment: Mosaic cannot
+        # concatenate lane-offset slices, but full-width rolls are free
+        def seg(p):
+            up = roll0(p, 1) * sel_up
+            dn = jnp.roll(roll0(p, -1) * sel_dn, M, axis=1)
+            return jnp.concatenate([p * keep, up + dn], axis=1)
+
+        merged = tuple(seg(p) for p in planes)
+        m_alive = jnp.concatenate(
+            [keep, sel_up + jnp.roll(sel_dn, M, axis=1)], axis=1) \
+            * jnp.where(merged[0] > 0, f32(1.0), f32(0.0))
+
+        # x classification for the NEXT pass (ops/pallas_step.rebin_x):
+        # left-mover 0 / right-mover 1 / stay 2 / dead 3; movers are
+        # compacted to the lane front by the same sort that re-compacts
+        # the z merge, so the x pass can take a fixed [0, M) window.
+        i_tgt = jnp.clip(jnp.floor(merged[5] / dx), 0.0, nx_f - 1.0)
+        di = i_tgt - i_row
+        is_l = (di == -1.0) | (di == nx_f - 1.0)
+        is_r = (di == 1.0) | (di == -(nx_f - 1.0))
+        is_s = di == 0.0
+        far_x = (m_alive > 0) & ~(is_l | is_r | is_s)
+        xkey = jnp.where(m_alive == 0, f32(3.0),
+                         jnp.where(is_l, f32(0.0),
+                                   jnp.where(is_r, f32(1.0), f32(2.0))))
+        nmovx = jnp.sum(jnp.where(xkey < 2.0, f32(1.0), f32(0.0)), axis=1,
+                        keepdims=True)
+        win_ovf = jnp.maximum(
+            win_ovf, jnp.max(jnp.where(nmovx > M, f32(1.0), f32(0.0))))
+        far_flag = win_ovf + jnp.max(jnp.where(far_z, f32(1.0), f32(0.0))) \
+            + jnp.max(jnp.where(far_x, f32(1.0), f32(0.0)))
+
+        xkey, merged = bitonic_sort_rows(xkey, merged)
+        lane2 = jax.lax.broadcasted_iota(jnp.int32, xkey.shape, 1)
+        drops = jnp.sum(jnp.where((xkey < 3.0) & (lane2 >= cap),
+                                  f32(1.0), f32(0.0)))
+        n, rw2, rd3, kpa, vt, x, z = tuple(p[:, :cap] for p in merged)
+        n = jnp.where(xkey[:, :cap] < 3.0, n, f32(0.0))
+        xkey_out[:] = xkey[:, :cap]
+    else:
+        xkey_out[:] = jnp.zeros_like(n)
+
     n_out[:] = n
     rw2_out[:] = rw2
     rd3_out[:] = rd3
@@ -220,32 +313,39 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
     RH_out[:] = RH
     eta_out[:] = eta
     # per-block puddle partials in a tile-aligned (1, 8, 128) block (lane
-    # 0-3 of sublane 0: liq_vol, dry_vol, liq_num, prtcl_num), summed by
+    # 0-3 of sublane 0: liq_vol, dry_vol, liq_num, prtcl_num; lane 4: the
+    # far-mover/window-overflow flag, lane 5: re-bin drops), summed by
     # the caller; Mosaic requires the trailing dims be (8k, 128)
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
     sub = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
     on = lambda i, v: jnp.where((sub == 0) & (lane == i), v, 0.0)
     puddle_out[:] = on(0, liq_vol) + on(1, dry_vol) \
-        + on(2, liq_num) + on(3, prt_num)
+        + on(2, liq_num) + on(3, prt_num) + on(4, far_flag) + on(5, drops)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "sstp_cond", "sstp_coal", "dt", "RH_max",
                      "do_coal", "do_sedi", "do_subs", "block_rows",
-                     "interpret"),
+                     "do_rebin", "interpret"),
 )
 def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
                   do_subs, seed, params,
                   n, rw2, rd3, kpa, x, z,
                   thadv, rvadv, th0, rv0, rhod, dv, lam_D, lam_K,
                   C_l, C_r, C_b, C_a, w_LS_cells,
-                  *, block_rows=128, interpret=False):
-    """One full microphysics step (cond + coal + transport, re-binning
-    excluded) as a single Pallas kernel over row blocks.
+                  *, block_rows=128, do_rebin=False, interpret=False):
+    """One full microphysics step (cond + coal + transport) as a single
+    Pallas kernel over row blocks.
+
+    With ``do_rebin`` the kernel also resolves the z axis of the
+    post-transport re-binning in VMEM and classifies SDs for the x pass
+    (rebin_x below); ``block_rows`` must then be a whole number of
+    x-columns (a multiple of cfg.nz) that divides n_cell.
 
     SD planes (n_cell, cap) f32; cell vectors (n_cell,) f32.  Returns
-    (n, rw2, rd3, kpa, vt, x, z, th, rv, T, p, RH, eta, puddle4)."""
+    (n, rw2, rd3, kpa, vt, x, z, xkey, th, rv, T, p, RH, eta, puddle)
+    where puddle lanes 4/5 carry the far-mover flag and re-bin drops."""
     n_cell, cap = n.shape
     if cap & (cap - 1):
         # the in-kernel bitonic network silently MIS-SORTS at widths that
@@ -253,6 +353,10 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
         # dense.resident_ok; this protects direct users)
         raise ValueError(f"step_resident: cap must be a power of two, "
                          f"got {cap}")
+    if do_rebin and (block_rows % cfg.nz or n_cell % block_rows):
+        raise ValueError(
+            f"step_resident: do_rebin needs block_rows ({block_rows}) to be "
+            f"a multiple of nz ({cfg.nz}) dividing n_cell ({n_cell})")
     nblk = pl.cdiv(n_cell, block_rows)
     pad_rows = nblk * block_rows - n_cell
 
@@ -298,13 +402,13 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
     cell_shape = jax.ShapeDtypeStruct((nblk * block_rows, 1), jnp.float32)
     outs = pl.pallas_call(
         functools.partial(_kernel, cfg, sstp_cond, sstp_coal, dt, RH_max,
-                          do_coal, do_sedi, do_subs, block_rows),
+                          do_coal, do_sedi, do_subs, block_rows, do_rebin),
         grid=(nblk,),
-        out_shape=tuple([sd_shape] * 7 + [cell_shape] * 6
+        out_shape=tuple([sd_shape] * 8 + [cell_shape] * 6
                         + [jax.ShapeDtypeStruct((nblk, 8, 128),
                                                 jnp.float32)]),
         in_specs=[scal, scal] + [spec] * _SD_PLANES + [cspec] * 15,
-        out_specs=tuple([spec] * 7 + [cspec] * 6 + [pspec]),
+        out_specs=tuple([spec] * 8 + [cspec] * 6 + [pspec]),
         # alias the six mutated SD planes in place (n,rw2,rd3,kpa,x,z ->
         # outputs 0-3, 5, 6); the round-3 convention that removes all
         # layout copies around the call
@@ -312,7 +416,128 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
         interpret=interpret,
     )(seed32, params32, *arrays, *cells)
 
-    sd = tuple(o[:n_cell] for o in outs[:7])
-    cell_out = tuple(o[:n_cell, 0] for o in outs[7:13])
-    puddle4 = jnp.sum(outs[13][:, 0, :4], axis=0)
-    return sd + cell_out + (puddle4,)
+    sd = tuple(o[:n_cell] for o in outs[:8])
+    cell_out = tuple(o[:n_cell, 0] for o in outs[8:14])
+    puddle = jnp.sum(outs[14][:, 0, :6], axis=0)
+    return sd + cell_out + (puddle,)
+
+
+# ------------------------------------------------------------------------
+# x pass of the in-kernel re-binning: dest row r takes its own stays plus
+# the window-compacted right-movers of row r-nz and left-movers of row
+# r+nz (x-periodic).  The classification + compaction happened inside
+# step_resident's epilogue (the xkey plane), so this kernel is one merge +
+# one bitonic compaction, reading a [left | centre | right] block window
+# through three index maps.
+def _xmerge_kernel(cfg, block_rows,
+                   n_l, n_c, n_r, rw2_l, rw2_c, rw2_r,
+                   rd3_l, rd3_c, rd3_r, kpa_l, kpa_c, kpa_r,
+                   vt_l, vt_c, vt_r, x_l, x_c, x_r, z_l, z_c, z_r,
+                   k_l, k_c, k_r,
+                   n_out, rw2_out, rd3_out, kpa_out, vt_out, x_out, z_out,
+                   flags_out):
+    nz = cfg.nz
+    q = block_rows
+    cap = n_c.shape[1]
+    M = cap // 2
+    lane = jax.lax.broadcasted_iota(
+        jnp.int32, (block_rows, cap), 1)
+    in_win = (lane < M).astype(jnp.float32)
+
+    f32 = jnp.float32
+    key_c = k_c[:]
+    keep = jnp.where(key_c == 2.0, f32(1.0), f32(0.0)) \
+        + jnp.where(key_c < 2.0, f32(1.0), f32(0.0)) * (1.0 - in_win)
+
+    def window(l, c, r):
+        w = jnp.concatenate([l[:], c[:], r[:]], axis=0)
+        # right-movers of global row r-nz sit at window row q + j - nz;
+        # left-movers of row r+nz at q + j + nz (slices wrap through the
+        # neighbour copies, which implements x-periodicity for any nblk).
+        # pltpu.roll + an aligned [0, q) slice: a direct slice at offset
+        # q - nz is sublane-misaligned and Mosaic cannot concatenate the
+        # resulting layout
+        wr = pltpu.roll(w, shift=(2 * q + nz) % (3 * q), axis=0)[:q]
+        wl = pltpu.roll(w, shift=(2 * q - nz) % (3 * q), axis=0)[:q]
+        return wr, wl
+
+    kw_r, kw_l = window(k_l, k_c, k_r)
+    sel_r = jnp.where(kw_r == 1.0, f32(1.0), f32(0.0)) * in_win
+    sel_l = jnp.where(kw_l == 0.0, f32(1.0), f32(0.0)) * in_win
+
+    planes = []
+    for (l, c, r) in ((n_l, n_c, n_r), (rw2_l, rw2_c, rw2_r),
+                      (rd3_l, rd3_c, rd3_r), (kpa_l, kpa_c, kpa_r),
+                      (vt_l, vt_c, vt_r), (x_l, x_c, x_r),
+                      (z_l, z_c, z_r)):
+        wr, wl = window(l, c, r)
+        # right-movers in lanes [0, M), left-movers rotated to [M, 2M):
+        # one full-width segment (Mosaic cannot concat lane-offset slices)
+        planes.append(jnp.concatenate(
+            [c[:] * keep, wr * sel_r + jnp.roll(wl * sel_l, M, axis=1)],
+            axis=1))
+
+    m_alive = jnp.concatenate(
+        [keep, sel_r + jnp.roll(sel_l, M, axis=1)], axis=1) \
+        * jnp.where(planes[0] > 0, f32(1.0), f32(0.0))
+    fkey = jnp.where(m_alive > 0, f32(0.0), f32(1.0))
+    fkey, planes = bitonic_sort_rows(fkey, tuple(planes))
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, fkey.shape, 1)
+    drops = jnp.sum(jnp.where((fkey == 0.0) & (lane2 >= cap),
+                              f32(1.0), f32(0.0)))
+
+    outs = (n_out, rw2_out, rd3_out, kpa_out, vt_out, x_out, z_out)
+    for o, p in zip(outs, planes):
+        o[:] = p[:, :cap]
+    n_out[:] = jnp.where(fkey[:, :cap] == 0.0, n_out[:], f32(0.0))
+    lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
+    sub3 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
+    flags_out[:] = jnp.where((sub3 == 0) & (lane3 == 0), drops, 0.0)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "block_rows", "interpret"),
+)
+def rebin_x(cfg, n, rw2, rd3, kpa, vt, x, z, xkey,
+            *, block_rows, interpret=False):
+    """The x pass of the in-kernel re-binning (see _xmerge_kernel).
+
+    Returns (n, rw2, rd3, kpa, vt, x, z, drops)."""
+    n_cell, cap = n.shape
+    if cap & (cap - 1):
+        raise ValueError(f"rebin_x: cap must be a power of two, got {cap}")
+    if block_rows % cfg.nz or n_cell % block_rows:
+        raise ValueError(
+            f"rebin_x: block_rows ({block_rows}) must be a multiple of nz "
+            f"({cfg.nz}) dividing n_cell ({n_cell})")
+    nblk = n_cell // block_rows
+
+    spec_c = pl.BlockSpec((block_rows, cap), lambda i: (i, 0),
+                          memory_space=pltpu.VMEM)
+    spec_l = pl.BlockSpec((block_rows, cap),
+                          lambda i: ((i + nblk - 1) % nblk, 0),
+                          memory_space=pltpu.VMEM)
+    spec_r = pl.BlockSpec((block_rows, cap),
+                          lambda i: ((i + 1) % nblk, 0),
+                          memory_space=pltpu.VMEM)
+    pspec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+
+    arrays = []
+    for a in (n, rw2, rd3, kpa, vt, x, z, xkey):
+        a = a.astype(jnp.float32)
+        arrays += [a, a, a]
+    sd_shape = jax.ShapeDtypeStruct((n_cell, cap), jnp.float32)
+    outs = pl.pallas_call(
+        functools.partial(_xmerge_kernel, cfg, block_rows),
+        grid=(nblk,),
+        out_shape=tuple([sd_shape] * 7
+                        + [jax.ShapeDtypeStruct((nblk, 8, 128),
+                                                jnp.float32)]),
+        in_specs=[spec_l, spec_c, spec_r] * 8,
+        out_specs=tuple([spec_c] * 7 + [pspec]),
+        interpret=interpret,
+    )(*arrays)
+    drops = jnp.sum(outs[7][:, 0, 0])
+    return outs[:7] + (drops,)
