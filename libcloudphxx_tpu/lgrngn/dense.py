@@ -832,17 +832,20 @@ def resident_ok(cfg: StaticConfig, d: DenseState):
     return jax.default_backend() == "tpu"
 
 
-def rebin_block_rows(cfg: StaticConfig, limit: int = 512):
+def rebin_block_rows(cfg: StaticConfig, limit: int = 256):
     """Row-block size for the in-kernel re-binning: a whole number of
-    x-columns (multiple of nz) dividing n_cell, as close to ``limit`` rows
-    as divisibility allows (q=1 always works).  The x-merge kernel reads a
-    3-block window (24 VMEM input blocks), so it gets a smaller limit to
-    stay inside the 16 MB scoped-VMEM budget."""
-    q = 1
+    x-columns (q*nz with q dividing nx) that is sublane-aligned (multiple
+    of 8 — a Mosaic block-shape requirement) and at most ``limit`` rows
+    (measured: 152 beats 304 at bench shape, and the x-merge kernel reads
+    a 3-block window of 24 VMEM inputs against the 16 MB scoped budget).
+    Returns 0 when no such block exists — callers fall back to the XLA
+    neighbour re-bin."""
+    best = cfg.nz if cfg.nz % 8 == 0 and cfg.nz <= limit else 0
     for cand in range(2, cfg.nx + 1):
-        if cfg.nx % cand == 0 and cand * cfg.nz <= limit:
-            q = cand
-    return q * cfg.nz
+        rows = cand * cfg.nz
+        if cfg.nx % cand == 0 and rows <= limit and rows % 8 == 0:
+            best = rows
+    return best
 
 
 def step_fused(cfg: StaticConfig, d: DenseState, th_adv, rv_adv, params, dt,
@@ -863,7 +866,8 @@ def step_fused(cfg: StaticConfig, d: DenseState, th_adv, rv_adv, params, dt,
     from ..ops.pallas_step import rebin_x, step_resident
     from .state import OUT_DRY_VOL, OUT_LIQ_NUM, OUT_LIQ_VOL, OUT_PRTCL_NUM
 
-    kernel_rebin = os.environ.get("LIBCLOUD_REBIN_KERNEL", "1") == "1"
+    kernel_rebin = os.environ.get("LIBCLOUD_REBIN_KERNEL", "1") == "1" \
+        and rebin_block_rows(cfg) > 0
     block_rows = rebin_block_rows(cfg) if kernel_rebin else 128
 
     key, sub = jax.random.split(d.key)
@@ -896,8 +900,7 @@ def step_fused(cfg: StaticConfig, d: DenseState, th_adv, rv_adv, params, dt,
         return rebin(cfg, d), th, rv
 
     n, rw2, rd3, kpa, vt, x, z, drops_x = rebin_x(
-        cfg, n, rw2, rd3, kpa, vt, x, z, xkey,
-        block_rows=rebin_block_rows(cfg, limit=256))
+        cfg, n, rw2, rd3, kpa, vt, x, z, xkey, block_rows=block_rows)
     d = dataclasses.replace(
         d, n=n, rw2=rw2, rd3=rd3, kpa=kpa, vt=vt, x=x, z=z,
         T=T, p=p, RH=RH, eta=eta,

@@ -571,10 +571,8 @@ class Kinematic2D:
         # round-4 rep-1 overflow bug).
         def resident_f(carry):
             d, th, rv = carry
-            th = mpdata.advect(th, gc_x, gc_z, G, n_iters=n_iters,
-                               fct=fct)
-            rv = mpdata.advect(rv, gc_x, gc_z, G, n_iters=n_iters,
-                               fct=fct)
+            th, rv = mpdata.advect2(th, rv, gc_x, gc_z, G,
+                                    n_iters=n_iters, fct=fct)
             d, thc, rvc = dense_mod.step_fused(
                 cfg, d, th.reshape(-1), rv.reshape(-1), params, dt,
                 RH_max, int(oi.sstp_coal), do_coal, do_sedi)
@@ -585,10 +583,8 @@ class Kinematic2D:
                 d, th, rv = carry
                 if dense_mod.resident_ok(cfg, d):  # static per trace
                     return resident_f(carry)
-                th = mpdata.advect(th, gc_x, gc_z, G, n_iters=n_iters,
-                                   fct=fct)
-                rv = mpdata.advect(rv, gc_x, gc_z, G, n_iters=n_iters,
-                                   fct=fct)
+                th, rv = mpdata.advect2(th, rv, gc_x, gc_z, G,
+                                        n_iters=n_iters, fct=fct)
                 d, thc, rvc = dense_mod.step_cond(
                     cfg, d, th.reshape(-1), rv.reshape(-1), dt, RH_max)
                 d = dense_mod.step_async(cfg, d, params, dt,

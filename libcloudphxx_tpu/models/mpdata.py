@@ -236,3 +236,34 @@ def advect(psi, gc_x, gc_z, G, n_iters=2, fct=False):
         )(psi, jnp.asarray(gc_x, psi.dtype), jnp.asarray(gc_z, psi.dtype),
           G)
     return _advect_body(psi, gc_x, gc_z, G, n_iters, fct)
+
+
+def advect2(psi_a, psi_b, gc_x, gc_z, G, n_iters=2, fct=False):
+    """Advect TWO scalars sharing the same courants in one dispatch (th and
+    rv of the kinematic step) — same math as two advect() calls, but the
+    TPU pays the per-kernel floor once."""
+    G = jnp.broadcast_to(jnp.asarray(G, psi_a.dtype), psi_a.shape)
+    if _pallas_ok(psi_a) and psi_b.dtype == psi_a.dtype:
+        from jax.experimental import pallas as pl
+        try:
+            from jax.experimental.pallas import tpu as pltpu
+        except ImportError:  # pragma: no cover
+            return (_advect_body(psi_a, gc_x, gc_z, G, n_iters, fct),
+                    _advect_body(psi_b, gc_x, gc_z, G, n_iters, fct))
+
+        def kernel(a_ref, b_ref, gcx_ref, gcz_ref, G_ref, oa_ref, ob_ref):
+            gcx, gcz, Gv = gcx_ref[:], gcz_ref[:], G_ref[:]
+            oa_ref[:] = _advect_body(a_ref[:], gcx, gcz, Gv, n_iters, fct)
+            ob_ref[:] = _advect_body(b_ref[:], gcx, gcz, Gv, n_iters, fct)
+
+        spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+        return pl.pallas_call(
+            kernel,
+            out_shape=(jax.ShapeDtypeStruct(psi_a.shape, psi_a.dtype),
+                       jax.ShapeDtypeStruct(psi_b.shape, psi_b.dtype)),
+            in_specs=[spec] * 5,
+            out_specs=(spec, spec),
+        )(psi_a, psi_b, jnp.asarray(gc_x, psi_a.dtype),
+          jnp.asarray(gc_z, psi_a.dtype), G)
+    return (_advect_body(psi_a, gc_x, gc_z, G, n_iters, fct),
+            _advect_body(psi_b, gc_x, gc_z, G, n_iters, fct))

@@ -133,23 +133,35 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
     if do_coal:
         dt_sub = dt / sstp_coal
 
+        # Ride-thin shuffle: x and z are not read by the pairing math, so
+        # a lane-id plane rides the per-substep sorts in their place and
+        # ONE final unsort (ascending id) restores the original lane
+        # order, re-aligning the mutated planes with the untouched x/z.
+        # vt is recomputed AFTER each shuffle from the sorted rw2 — the
+        # same per-SD values, one ride cheaper.  5 rides per stage instead
+        # of 7; the PRNG draw order is unchanged, so pairing (and hence
+        # physics) is bitwise identical to the ride-everything loop.
         def coal_sub(_, carry):
-            n, rw2, rd3, kpa, x, z = carry
-            vt = _vt_in_kernel(cfg, rw2, T, p, rhod, eta)
+            n, rw2, rd3, kpa, idp = carry
             u = _u01(n.shape)
             skey = jnp.where(n > 0, u, 2.0)
-            _, (n, rw2, rd3, kpa, vt, x, z) = bitonic_sort_rows(
-                skey, (n, rw2, rd3, kpa, vt, x, z))
+            _, (n, rw2, rd3, kpa, idp) = bitonic_sort_rows(
+                skey, (n, rw2, rd3, kpa, idp))
+            vt = _vt_in_kernel(cfg, rw2, T, p, rhod, eta)
             count = jnp.sum((n > 0).astype(n.dtype), axis=1, keepdims=True)
             u01 = _u01(n.shape)
             n, rw2, rd3, kpa, _o = pair_and_collide(
                 cfg, params, (n, rw2, rd3, kpa, vt), count,
                 dv, rhod, eta, dt_sub, u01,
                 cbrt_fn=lambda v: cbrt_pos(jnp.maximum(v, 1e-38)))
-            return (n, rw2, rd3, kpa, x, z)
+            return (n, rw2, rd3, kpa, idp)
 
-        n, rw2, rd3, kpa, x, z = jax.lax.fori_loop(
-            0, sstp_coal, coal_sub, (n, rw2, rd3, kpa, x, z))
+        id0 = jax.lax.broadcasted_iota(
+            jnp.int32, n.shape, 1).astype(jnp.float32)
+        n, rw2, rd3, kpa, idp = jax.lax.fori_loop(
+            0, sstp_coal, coal_sub, (n, rw2, rd3, kpa, id0))
+        _, (n, rw2, rd3, kpa) = bitonic_sort_rows(
+            idp, (n, rw2, rd3, kpa))
 
     # final vterm refresh (hskpng_vterm_invalid after the last substep)
     vt = _vt_in_kernel(cfg, rw2, T, p, rhod, eta)
