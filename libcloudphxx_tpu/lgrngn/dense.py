@@ -83,6 +83,11 @@ class DenseState:
     key: jax.Array
     puddle: jax.Array          # same slots as State.puddle
     overflow: jax.Array        # SDs dropped because a row filled up
+    # deferred x-rebin classification from the resident kernel (left 0 /
+    # right 1 / stay 2 / dead 3); empty (0, 0) when the deferred-x
+    # pipeline is off — see step_fused / flush_xmerge
+    xkey: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 0), jnp.float32))
 
     @property
     def cap(self):
@@ -127,12 +132,12 @@ def _distribute(cfg: StaticConfig, cap, cell, vals):
     n_cell = cfg.n_cell
     N = cell.shape[0]
     lane = jnp.arange(cap, dtype=jnp.int32)
-    # default "gather": measured 237 ms/step for the full dense step on the
-    # v5e; the "scatter" variant (1-D scatters instead of the 8 big
-    # gathers) should beat it but its XLA scatter lowering compiles
-    # pathologically slowly through the remote-compile tunnel — opt-in
-    # until that is resolved
-    variant = os.environ.get("LIBCLOUD_DENSE_DISTRIBUTE", "gather")
+    # default "scatter" (1-D scatters instead of 8 big random-index
+    # gathers): measured 16.5 vs 125 ms for the bench-shape pack on the
+    # v5e.  The r2-era pathological compile through the remote tunnel no
+    # longer reproduces (persistent compile cache + current toolchain);
+    # LIBCLOUD_DENSE_DISTRIBUTE=gather/ride restore the old variants
+    variant = os.environ.get("LIBCLOUD_DENSE_DISTRIBUTE", "scatter")
     if variant == "scatter":
         # ride the sort, then ONE 1-D scatter per plane: sorted position p
         # belongs to cell c = cell_s[p] at lane l = p - (start of c's run).
@@ -875,6 +880,7 @@ def step_fused(cfg: StaticConfig, d: DenseState, th_adv, rv_adv, params, dt,
     lam_D, lam_K = hskpng.hskpng_mfp(d.T, d.p)  # stale, see step_cond
     C_l, C_r, C_b, C_a = _row_courants(cfg, d)
 
+    deferred = kernel_rebin and d.xkey.size > 0
     (n, rw2, rd3, kpa, vt, x, z, xkey, th, rv, T, p, RH, eta,
      pud) = step_resident(
         cfg, int(cfg.sstp_cond), int(sstp_coal), float(dt), float(RH_max),
@@ -882,6 +888,7 @@ def step_fused(cfg: StaticConfig, d: DenseState, th_adv, rv_adv, params, dt,
         d.n, d.rw2, d.rd3, d.kpa, d.x, d.z,
         th_adv, rv_adv, d.sstp_tmp_th, d.sstp_tmp_rv, d.rhod, d.dv,
         lam_D, lam_K, C_l, C_r, C_b, C_a, jnp.zeros_like(d.rhod),
+        d.xkey if deferred else None,
         block_rows=block_rows, do_rebin=kernel_rebin)
 
     puddle = d.puddle
@@ -899,6 +906,34 @@ def step_fused(cfg: StaticConfig, d: DenseState, th_adv, rv_adv, params, dt,
             key=key, puddle=puddle)
         return rebin(cfg, d), th, rv
 
+    # far movers / window overflows are rare (sedi > dz per dt, or > cap/2
+    # of a row's SDs crossing the same face): flush any pending x merge,
+    # then one exact global re-bin from positions repairs them (binning
+    # never changes positions)
+    def fix(dd):
+        dd = flush_xmerge(cfg, dd)
+        alive = dd.n > 0
+        tgt = hskpng.ijk_of_xyz(cfg, dd.x, dd.x, dd.z).astype(jnp.int32)
+        dd = _rebin_global(cfg, dd, jnp.where(alive, tgt, cfg.n_cell))
+        if dd.xkey.size:
+            dd = dataclasses.replace(
+                dd, xkey=jnp.where(dd.n > 0, jnp.float32(2.0),
+                                   jnp.float32(3.0)))
+        return dd
+
+    if deferred:
+        # the x pass of THIS step's re-binning is deferred into the next
+        # step's kernel prologue (or the end-of-run flush_xmerge); the
+        # state carries the classification in d.xkey
+        d = dataclasses.replace(
+            d, n=n, rw2=rw2, rd3=rd3, kpa=kpa, vt=vt, x=x, z=z,
+            T=T, p=p, RH=RH, eta=eta,
+            sstp_tmp_th=th, sstp_tmp_rv=rv,
+            key=key, puddle=puddle, xkey=xkey,
+            overflow=d.overflow + pud[5].astype(d.overflow.dtype))
+        d = jax.lax.cond(pud[4] > 0, fix, lambda dd: dd, d)
+        return d, th, rv
+
     n, rw2, rd3, kpa, vt, x, z, drops_x = rebin_x(
         cfg, n, rw2, rd3, kpa, vt, x, z, xkey, block_rows=block_rows)
     d = dataclasses.replace(
@@ -907,16 +942,24 @@ def step_fused(cfg: StaticConfig, d: DenseState, th_adv, rv_adv, params, dt,
         sstp_tmp_th=th, sstp_tmp_rv=rv,
         key=key, puddle=puddle,
         overflow=d.overflow + (pud[5] + drops_x).astype(d.overflow.dtype))
-    # far movers / window overflows are rare (sedi > dz per dt, or > cap/2
-    # of a row's SDs crossing the same face): one exact global re-bin from
-    # positions repairs them
-    def fix(dd):
-        alive = dd.n > 0
-        tgt = hskpng.ijk_of_xyz(cfg, dd.x, dd.x, dd.z).astype(jnp.int32)
-        return _rebin_global(cfg, dd, jnp.where(alive, tgt, cfg.n_cell))
-
     d = jax.lax.cond(pud[4] > 0, fix, lambda dd: dd, d)
     return d, th, rv
+
+
+def flush_xmerge(cfg: StaticConfig, d: DenseState) -> DenseState:
+    """Apply the pending deferred x merge (no-op when d.xkey is empty) and
+    reset the classification to all-stay.  Call before any consumer that
+    needs row-correct planes (diag, unpack, engine switch)."""
+    from ..ops.pallas_step import rebin_x
+    if d.xkey.size == 0:
+        return d
+    n, rw2, rd3, kpa, vt, x, z, drops_x = rebin_x(
+        cfg, d.n, d.rw2, d.rd3, d.kpa, d.vt, d.x, d.z, d.xkey,
+        block_rows=rebin_block_rows(cfg))
+    xkey = jnp.where(n > 0, jnp.float32(2.0), jnp.float32(3.0))
+    return dataclasses.replace(
+        d, n=n, rw2=rw2, rd3=rd3, kpa=kpa, vt=vt, x=x, z=z, xkey=xkey,
+        overflow=d.overflow + drops_x.astype(d.overflow.dtype))
 
 
 def step_async(cfg: StaticConfig, d: DenseState, params, dt,

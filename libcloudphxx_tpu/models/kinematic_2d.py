@@ -681,12 +681,28 @@ class Kinematic2D:
                 "relax_th_rv is only supported in the stepwise run() path")
         p = self.prtcls
         if engine == "dense":
+            import dataclasses as _dc
+            import os as _os
             from ..lgrngn import dense as dense_mod
             cap = self.dense_capacity()
             flat_state = p.state
             d = jax.jit(
                 dense_mod.pack, static_argnums=(0, 2)
             )(p.cfg, flat_state, cap)
+            # deferred-x pipeline: when the resident kernel + in-kernel
+            # re-binning will run, carry the x classification in the state
+            # so each step is ONE kernel (the x merge becomes the next
+            # step's prologue); flushed after the loop
+            # OFF by default: measured 17.5 vs 15.4 ms/step at bench
+            # shape — the 21 windowed SD inputs per block (3 index maps x
+            # 7 arrays, no aliasing possible) degrade the kernel's DMA
+            # pipelining by more than the saved rebin_x dispatch
+            if (_os.environ.get("LIBCLOUD_DEFER_X", "0") == "1"
+                    and dense_mod.resident_ok(p.cfg, d)
+                    and _os.environ.get("LIBCLOUD_REBIN_KERNEL", "1") == "1"
+                    and dense_mod.rebin_block_rows(p.cfg) > 0):
+                d = _dc.replace(d, xkey=jnp.where(
+                    d.n > 0, jnp.float32(2.0), jnp.float32(3.0)))
             carry = (d, jnp.asarray(self.th), jnp.asarray(self.rv))
         else:
             carry = (p.state, jnp.asarray(self.th), jnp.asarray(self.rv))
@@ -696,6 +712,10 @@ class Kinematic2D:
             carry = self._lgrngn_runner(sp, n, engine)(carry)
         state, th, rv = carry
         if engine == "dense":
+            if state.xkey.size:
+                state = jax.jit(
+                    dense_mod.flush_xmerge, static_argnums=0
+                )(p.cfg, state)
             dropped = float(state.overflow)
             if dropped:
                 # loud failure, like the flat engine's capacity error

@@ -49,16 +49,82 @@ _CELL_VECS = 15         # thadv rvadv th0 rv0 rhod dv lamD lamK Cl Cr Cb Ca
 #                         i_row k_row w_LS
 
 
+def _xmerge_values(nz, q, keys_lcr, planes_lcr):
+    """The x-merge on VALUES: dest row r takes its own stays plus the
+    window-compacted right-movers of row r-nz and left-movers of row r+nz
+    (x-periodic through the neighbour copies).  ``keys_lcr`` is the
+    (left, centre, right) triple of xkey blocks (q, cap); ``planes_lcr`` a
+    list of such triples.  Returns (out_planes, drops) with out_planes
+    compacted (q, cap) blocks, alive lanes first.
+
+    Shared by the standalone rebin_x kernel and the x-merge prologue of
+    the resident step (the deferred-x pipeline)."""
+    f32 = jnp.float32
+    k_l, k_c, k_r = keys_lcr
+    cap = k_c.shape[1]
+    M = cap // 2
+    lane = jax.lax.broadcasted_iota(jnp.int32, (q, cap), 1)
+    in_win = (lane < M).astype(jnp.float32)
+
+    keep = jnp.where(k_c == 2.0, f32(1.0), f32(0.0)) \
+        + jnp.where(k_c < 2.0, f32(1.0), f32(0.0)) * (1.0 - in_win)
+
+    def window(l, c, r):
+        w = jnp.concatenate([l, c, r], axis=0)
+        # right-movers of global row r-nz sit at window row q + j - nz;
+        # left-movers of row r+nz at q + j + nz (slices wrap through the
+        # neighbour copies, which implements x-periodicity for any nblk).
+        # pltpu.roll + an aligned [0, q) slice: a direct slice at offset
+        # q - nz is sublane-misaligned and Mosaic cannot concatenate the
+        # resulting layout
+        wr = pltpu.roll(w, shift=(2 * q + nz) % (3 * q), axis=0)[:q]
+        wl = pltpu.roll(w, shift=(2 * q - nz) % (3 * q), axis=0)[:q]
+        return wr, wl
+
+    kw_r, kw_l = window(k_l, k_c, k_r)
+    sel_r = jnp.where(kw_r == 1.0, f32(1.0), f32(0.0)) * in_win
+    sel_l = jnp.where(kw_l == 0.0, f32(1.0), f32(0.0)) * in_win
+
+    planes = []
+    for (l, c, r) in planes_lcr:
+        wr, wl = window(l, c, r)
+        # right-movers in lanes [0, M), left-movers rotated to [M, 2M):
+        # one full-width segment (Mosaic cannot concat lane-offset slices)
+        planes.append(jnp.concatenate(
+            [c * keep, wr * sel_r + jnp.roll(wl * sel_l, M, axis=1)],
+            axis=1))
+
+    m_alive = jnp.concatenate(
+        [keep, sel_r + jnp.roll(sel_l, M, axis=1)], axis=1) \
+        * jnp.where(planes[0] > 0, f32(1.0), f32(0.0))
+    fkey = jnp.where(m_alive > 0, f32(0.0), f32(1.0))
+    fkey, planes = bitonic_sort_rows(fkey, tuple(planes))
+    lane2 = jax.lax.broadcasted_iota(jnp.int32, fkey.shape, 1)
+    drops = jnp.sum(jnp.where((fkey == 0.0) & (lane2 >= cap),
+                              f32(1.0), f32(0.0)))
+    outs = tuple(p[:, :cap] for p in planes)
+    outs = (jnp.where(fkey[:, :cap] == 0.0, outs[0], f32(0.0)),) + outs[1:]
+    return outs, drops
+
+
 def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
-            do_subs, block_rows, do_rebin,
-            seed_ref, params_ref,
-            n_ref, rw2_ref, rd3_ref, kpa_ref, x_ref, z_ref,
-            thadv_ref, rvadv_ref, th0_ref, rv0_ref, rhod_ref, dv_ref,
-            lamD_ref, lamK_ref, cl_ref, cr_ref, cb_ref, ca_ref,
-            irow_ref, krow_ref, wls_ref,
-            n_out, rw2_out, rd3_out, kpa_out, vt_out, x_out, z_out,
-            xkey_out, th_out, rv_out, T_out, p_out, RH_out, eta_out,
-            puddle_out):
+            do_subs, block_rows, do_rebin, do_xmerge,
+            *refs):
+    seed_ref, params_ref = refs[0], refs[1]
+    pos = 2
+    if do_xmerge:
+        win = refs[pos:pos + 21]
+        pos += 21
+    else:
+        (n_ref, rw2_ref, rd3_ref, kpa_ref, x_ref, z_ref) = refs[pos:pos + 6]
+        pos += 6
+    (thadv_ref, rvadv_ref, th0_ref, rv0_ref, rhod_ref, dv_ref,
+     lamD_ref, lamK_ref, cl_ref, cr_ref, cb_ref, ca_ref,
+     irow_ref, krow_ref, wls_ref) = refs[pos:pos + 15]
+    pos += 15
+    (n_out, rw2_out, rd3_out, kpa_out, vt_out, x_out, z_out,
+     xkey_out, th_out, rv_out, T_out, p_out, RH_out, eta_out,
+     puddle_out) = refs[pos:pos + 15]
     from ..common import constants as c
     from ..common import theta_dry
     from ..common import vterm as cv
@@ -73,12 +139,21 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
         # so the cond/transport-only variant stays CPU-interpretable
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
-    n = n_ref[:]
-    rw2 = rw2_ref[:]
-    rd3 = rd3_ref[:]
-    kpa = kpa_ref[:]
-    x = x_ref[:]
-    z = z_ref[:]
+    drops_x = jnp.float32(0.0)
+    if do_xmerge:
+        # deferred x pass of the PREVIOUS step's re-binning: reconstruct
+        # row-correct planes from the [left | centre | right] block window
+        # before any physics reads them
+        triple = lambda j: tuple(win[3 * j + t][:] for t in range(3))
+        (n, rw2, rd3, kpa, x, z), drops_x = _xmerge_values(
+            cfg.nz, block_rows, triple(6), [triple(j) for j in range(6)])
+    else:
+        n = n_ref[:]
+        rw2 = rw2_ref[:]
+        rd3 = rd3_ref[:]
+        kpa = kpa_ref[:]
+        x = x_ref[:]
+        z = z_ref[:]
     rhod = rhod_ref[:]
     dv = dv_ref[:]
     lam_D = lamD_ref[:]
@@ -229,7 +304,7 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
     # masking at column boundaries as long as each block is a whole number
     # of x-columns (block_rows % nz == 0, enforced by step_resident).
     far_flag = jnp.float32(0.0)
-    drops = jnp.float32(0.0)
+    drops = drops_x
     if do_rebin:
         cap = n.shape[1]
         M = cap // 2
@@ -303,8 +378,8 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
 
         xkey, merged = bitonic_sort_rows(xkey, merged)
         lane2 = jax.lax.broadcasted_iota(jnp.int32, xkey.shape, 1)
-        drops = jnp.sum(jnp.where((xkey < 3.0) & (lane2 >= cap),
-                                  f32(1.0), f32(0.0)))
+        drops = drops + jnp.sum(jnp.where((xkey < 3.0) & (lane2 >= cap),
+                                          f32(1.0), f32(0.0)))
         n, rw2, rd3, kpa, vt, x, z = tuple(p[:, :cap] for p in merged)
         n = jnp.where(xkey[:, :cap] < 3.0, n, f32(0.0))
         xkey_out[:] = xkey[:, :cap]
@@ -345,7 +420,7 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
                   do_subs, seed, params,
                   n, rw2, rd3, kpa, x, z,
                   thadv, rvadv, th0, rv0, rhod, dv, lam_D, lam_K,
-                  C_l, C_r, C_b, C_a, w_LS_cells,
+                  C_l, C_r, C_b, C_a, w_LS_cells, xkey=None,
                   *, block_rows=128, do_rebin=False, interpret=False):
     """One full microphysics step (cond + coal + transport) as a single
     Pallas kernel over row blocks.
@@ -355,10 +430,17 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
     (rebin_x below); ``block_rows`` must then be a whole number of
     x-columns (a multiple of cfg.nz) that divides n_cell.
 
+    With ``xkey`` (the previous step's x classification) the kernel ALSO
+    applies the deferred x pass as a prologue, reading the SD planes
+    through a [left | centre | right] block window — the steady-state
+    pipeline is then ONE kernel per model step, with rebin_x needed only
+    as an end-of-run flush.
+
     SD planes (n_cell, cap) f32; cell vectors (n_cell,) f32.  Returns
     (n, rw2, rd3, kpa, vt, x, z, xkey, th, rv, T, p, RH, eta, puddle)
     where puddle lanes 4/5 carry the far-mover flag and re-bin drops."""
     n_cell, cap = n.shape
+    do_xmerge = xkey is not None
     if cap & (cap - 1):
         # the in-kernel bitonic network silently MIS-SORTS at widths that
         # are not powers of two — refuse loudly (callers gate via
@@ -390,7 +472,8 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
     i_row = (rows // nz).astype(jnp.float32)
     k_row = (rows % nz).astype(jnp.float32)
 
-    arrays = tuple(prep(a) for a in (n, rw2, rd3, kpa, x, z))
+    arrays = tuple(prep(a) for a in (n, rw2, rd3, kpa, x, z)
+                   + ((xkey,) if do_xmerge else ()))
     cells = tuple(
         prep_cell(a, f) for a, f in (
             (thadv, 300.0), (rvadv, 0.01), (th0, 300.0), (rv0, 0.01),
@@ -410,23 +493,45 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
                          memory_space=pltpu.VMEM)
     scal = pl.BlockSpec(memory_space=pltpu.SMEM)
 
+    if do_xmerge:
+        # each of the 7 SD arrays (6 planes + xkey) is read three times
+        # through left/centre/right index maps; in-place aliasing would
+        # race the sequential grid (block i's write vs block i+1's window
+        # read), so the outputs get fresh buffers
+        spec_l = pl.BlockSpec((block_rows, cap),
+                              lambda i: ((i + nblk - 1) % nblk, 0),
+                              memory_space=pltpu.VMEM)
+        spec_r = pl.BlockSpec((block_rows, cap),
+                              lambda i: ((i + 1) % nblk, 0),
+                              memory_space=pltpu.VMEM)
+        sd_specs = [spec_l, spec, spec_r] * 7
+        sd_args = []
+        for a in arrays:
+            sd_args += [a, a, a]
+        aliases = {}
+    else:
+        sd_specs = [spec] * _SD_PLANES
+        sd_args = list(arrays)
+        # alias the six mutated SD planes in place (n,rw2,rd3,kpa,x,z ->
+        # outputs 0-3, 5, 6); the round-3 convention that removes all
+        # layout copies around the call
+        aliases = {2: 0, 3: 1, 4: 2, 5: 3, 6: 5, 7: 6}
+
     sd_shape = jax.ShapeDtypeStruct(arrays[0].shape, jnp.float32)
     cell_shape = jax.ShapeDtypeStruct((nblk * block_rows, 1), jnp.float32)
     outs = pl.pallas_call(
         functools.partial(_kernel, cfg, sstp_cond, sstp_coal, dt, RH_max,
-                          do_coal, do_sedi, do_subs, block_rows, do_rebin),
+                          do_coal, do_sedi, do_subs, block_rows, do_rebin,
+                          do_xmerge),
         grid=(nblk,),
         out_shape=tuple([sd_shape] * 8 + [cell_shape] * 6
                         + [jax.ShapeDtypeStruct((nblk, 8, 128),
                                                 jnp.float32)]),
-        in_specs=[scal, scal] + [spec] * _SD_PLANES + [cspec] * 15,
+        in_specs=[scal, scal] + sd_specs + [cspec] * 15,
         out_specs=tuple([spec] * 8 + [cspec] * 6 + [pspec]),
-        # alias the six mutated SD planes in place (n,rw2,rd3,kpa,x,z ->
-        # outputs 0-3, 5, 6); the round-3 convention that removes all
-        # layout copies around the call
-        input_output_aliases={2: 0, 3: 1, 4: 2, 5: 3, 6: 5, 7: 6},
+        input_output_aliases=aliases,
         interpret=interpret,
-    )(seed32, params32, *arrays, *cells)
+    )(seed32, params32, *sd_args, *cells)
 
     sd = tuple(o[:n_cell] for o in outs[:8])
     cell_out = tuple(o[:n_cell, 0] for o in outs[8:14])
@@ -448,60 +553,15 @@ def _xmerge_kernel(cfg, block_rows,
                    k_l, k_c, k_r,
                    n_out, rw2_out, rd3_out, kpa_out, vt_out, x_out, z_out,
                    flags_out):
-    nz = cfg.nz
-    q = block_rows
-    cap = n_c.shape[1]
-    M = cap // 2
-    lane = jax.lax.broadcasted_iota(
-        jnp.int32, (block_rows, cap), 1)
-    in_win = (lane < M).astype(jnp.float32)
-
-    f32 = jnp.float32
-    key_c = k_c[:]
-    keep = jnp.where(key_c == 2.0, f32(1.0), f32(0.0)) \
-        + jnp.where(key_c < 2.0, f32(1.0), f32(0.0)) * (1.0 - in_win)
-
-    def window(l, c, r):
-        w = jnp.concatenate([l[:], c[:], r[:]], axis=0)
-        # right-movers of global row r-nz sit at window row q + j - nz;
-        # left-movers of row r+nz at q + j + nz (slices wrap through the
-        # neighbour copies, which implements x-periodicity for any nblk).
-        # pltpu.roll + an aligned [0, q) slice: a direct slice at offset
-        # q - nz is sublane-misaligned and Mosaic cannot concatenate the
-        # resulting layout
-        wr = pltpu.roll(w, shift=(2 * q + nz) % (3 * q), axis=0)[:q]
-        wl = pltpu.roll(w, shift=(2 * q - nz) % (3 * q), axis=0)[:q]
-        return wr, wl
-
-    kw_r, kw_l = window(k_l, k_c, k_r)
-    sel_r = jnp.where(kw_r == 1.0, f32(1.0), f32(0.0)) * in_win
-    sel_l = jnp.where(kw_l == 0.0, f32(1.0), f32(0.0)) * in_win
-
-    planes = []
-    for (l, c, r) in ((n_l, n_c, n_r), (rw2_l, rw2_c, rw2_r),
-                      (rd3_l, rd3_c, rd3_r), (kpa_l, kpa_c, kpa_r),
-                      (vt_l, vt_c, vt_r), (x_l, x_c, x_r),
-                      (z_l, z_c, z_r)):
-        wr, wl = window(l, c, r)
-        # right-movers in lanes [0, M), left-movers rotated to [M, 2M):
-        # one full-width segment (Mosaic cannot concat lane-offset slices)
-        planes.append(jnp.concatenate(
-            [c[:] * keep, wr * sel_r + jnp.roll(wl * sel_l, M, axis=1)],
-            axis=1))
-
-    m_alive = jnp.concatenate(
-        [keep, sel_r + jnp.roll(sel_l, M, axis=1)], axis=1) \
-        * jnp.where(planes[0] > 0, f32(1.0), f32(0.0))
-    fkey = jnp.where(m_alive > 0, f32(0.0), f32(1.0))
-    fkey, planes = bitonic_sort_rows(fkey, tuple(planes))
-    lane2 = jax.lax.broadcasted_iota(jnp.int32, fkey.shape, 1)
-    drops = jnp.sum(jnp.where((fkey == 0.0) & (lane2 >= cap),
-                              f32(1.0), f32(0.0)))
-
+    planes_lcr = [(l[:], c[:], r[:]) for (l, c, r) in
+                  ((n_l, n_c, n_r), (rw2_l, rw2_c, rw2_r),
+                   (rd3_l, rd3_c, rd3_r), (kpa_l, kpa_c, kpa_r),
+                   (vt_l, vt_c, vt_r), (x_l, x_c, x_r), (z_l, z_c, z_r))]
+    outs_v, drops = _xmerge_values(
+        cfg.nz, block_rows, (k_l[:], k_c[:], k_r[:]), planes_lcr)
     outs = (n_out, rw2_out, rd3_out, kpa_out, vt_out, x_out, z_out)
-    for o, p in zip(outs, planes):
-        o[:] = p[:, :cap]
-    n_out[:] = jnp.where(fkey[:, :cap] == 0.0, n_out[:], f32(0.0))
+    for o, p in zip(outs, outs_v):
+        o[:] = p
     lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
     sub3 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
     flags_out[:] = jnp.where((sub3 == 0) & (lane3 == 0), drops, 0.0)

@@ -155,7 +155,8 @@ def dense_specs():
         rhod=P("x"), p=P("x"), T=P("x"), RH=P("x"), eta=P("x"), dv=P("x"),
         sstp_tmp_th=P("x"), sstp_tmp_rv=P("x"),
         courant_x=P("x"), courant_y=P(), courant_z=P("x"),
-        key=P("x"), puddle=P("x"), overflow=P("x"))
+        key=P("x"), puddle=P("x"), overflow=P("x"),
+        xkey=P())                   # deferred-x is a resident-TPU feature
 
 
 def scatter_dense(cfg: StaticConfig, d: DenseState, n_shards: int,

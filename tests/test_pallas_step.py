@@ -96,3 +96,44 @@ def test_resident_step_matches_dense_xla(rain):
     if rain:
         from libcloudphxx_tpu.lgrngn.state import OUT_PRTCL_NUM
         assert float(d_k.puddle[OUT_PRTCL_NUM]) > 0.0
+
+
+def test_deferred_xmerge_matches_dense_xla():
+    """The deferred-x pipeline (x merge as next-kernel prologue + an
+    end-of-run flush) must produce the same per-cell populations as the
+    immediate path.  Lane order inside a row differs (the prologue's
+    compaction sort is not stable), so cell sums reassociate: values are
+    gated at f32-ulp tolerances instead of bitwise."""
+    import dataclasses as dc
+    m, cfg, d, th, rv = _setup(False)
+    dt = float(m.setup.dt)
+    params = jnp.zeros((0,), jnp.float32)
+
+    d_x, th_x, rv_x = dm.step_cond(cfg, d, th, rv, dt, 44.0)
+    d_x = dataclasses.replace(
+        d_x, vt=vterm_mod.vt_of(cfg, d_x.rw2, d_x.T[:, None],
+                                d_x.p[:, None], d_x.rhod[:, None],
+                                d_x.eta[:, None]))
+    d_x = dm.adve_sedi_bcnd(cfg, d_x, dt, True)
+    d_x = dm.rebin(cfg, d_x)
+
+    d0 = dc.replace(d, xkey=jnp.where(d.n > 0, jnp.float32(2.0),
+                                      jnp.float32(3.0)))
+    with pltpu.force_tpu_interpret_mode():
+        d_k, th_k, rv_k = dm.step_fused(cfg, d0, th, rv, params, dt, 44.0,
+                                        2, False, True)
+        assert d_k.xkey.size  # classification pending
+        d_k = dm.flush_xmerge(cfg, d_k)
+
+    np.testing.assert_allclose(np.asarray(th_k), np.asarray(th_x),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rv_k), np.asarray(rv_x),
+                               rtol=1e-6)
+    a, b = _multiset(d_k, cfg), _multiset(d_x, cfg)
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a[:, 0], b[:, 0])       # cells
+    np.testing.assert_array_equal(a[:, 1], b[:, 1])       # multiplicities
+    np.testing.assert_allclose(a[:, 2], b[:, 2], rtol=1e-5)   # rw2
+    np.testing.assert_allclose(a[:, 3], b[:, 3], rtol=1e-5)   # x
+    np.testing.assert_allclose(a[:, 4], b[:, 4], rtol=1e-5)   # z
+    assert float(d_k.overflow) == 0.0
