@@ -532,23 +532,30 @@ def _apply_drv_to_cell_th_rv(cfg, state, drv):
     per-particle substepping cannot reduce (the percell path avoids it by
     running update_th_rv every substep, particles_step.ipp:258); the exact
     path integration keeps the "exact" modes exact."""
+    th_new, rv_new = apply_drv_to_th_rv(cfg, state.th, state.rv,
+                                        state.rhod, state.p, drv)
+    return dataclasses.replace(state, rv=rv_new, th=th_new)
+
+
+def apply_drv_to_th_rv(cfg, th, rv, rhod, p, drv):
+    """Cell-array core of _apply_drv_to_cell_th_rv (shared with the dense
+    engine's exact-substepping closure)."""
     from ..common import theta_std
 
     if cfg.th_dry:
         f = lambda th: theta_dry.d_th_d_rv(
-            theta_dry.T(th, jnp.maximum(state.rhod, 1e-10)), th)
+            theta_dry.T(th, jnp.maximum(rhod, 1e-10)), th)
     else:
-        ex = theta_std.exner(jnp.maximum(state.p, 1.0))
+        ex = theta_std.exner(jnp.maximum(p, 1.0))
         f = lambda th: theta_dry.d_th_d_rv(th * ex, th)
 
-    th = state.th
     h = -drv  # dtheta = f(theta) * d(-drv_applied)... sign: th += f*(-drv)
     k1 = f(th)
     k2 = f(th + 0.5 * h * k1)
     k3 = f(th + 0.5 * h * k2)
     k4 = f(th + h * k3)
     th_new = th + (h / 6.0) * (k1 + 2 * k2 + 2 * k3 + k4)
-    return dataclasses.replace(state, rv=state.rv - drv, th=th_new)
+    return th_new, rv - drv
 
 
 def _perparticle_thermo(cfg, tmp_th, tmp_rv, tmp_rh, tmp_p, ssp, turb_cond):

@@ -88,6 +88,21 @@ class DenseState:
     # pipeline is off — see step_fused / flush_xmerge
     xkey: jax.Array = dataclasses.field(
         default_factory=lambda: jnp.zeros((0, 0), jnp.float32))
+    # per-SD private ambient copies for exact (per-particle) condensation
+    # substepping (reference sstp_tmp_*, particles_impl.ipp:86-91); empty
+    # (0, 0) planes outside exact mode.  Values are row-constant between
+    # steps (sstp_save gathers cell values), so they need not ride the
+    # in-row coalescence shuffle — only the re-binning (a moved SD keeps
+    # its OLD cell's snapshot, like the reference's migration payload,
+    # particles_impl.ipp:440-494)
+    sd_th: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 0), jnp.float32))
+    sd_rv: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 0), jnp.float32))
+    sd_rh: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 0), jnp.float32))
+    sd_p: jax.Array = dataclasses.field(
+        default_factory=lambda: jnp.zeros((0, 0), jnp.float32))
 
     @property
     def cap(self):
@@ -105,8 +120,10 @@ def _supported(cfg: StaticConfig):
     flat engine."""
     if cfg.n_dims not in (2, 3):
         raise NotImplementedError("dense engine: 2-D/3-D only")
-    if cfg.exact_sstp_cond or cfg.adaptive_sstp_cond:
-        raise NotImplementedError("dense engine: percell substepping only")
+    if cfg.adaptive_sstp_cond:
+        raise NotImplementedError(
+            "dense engine: adaptive per-SD substepping stays on the flat "
+            "engine (percell and exact fixed-count are covered)")
     if cfg.ice_switch or cfg.chem_switch or cfg.turb_cond_switch:
         raise NotImplementedError("dense engine: ice/chem/SGS not supported")
     if cfg.diag_incloud_time:
@@ -193,11 +210,17 @@ def _distribute(cfg: StaticConfig, cap, cell, vals):
 
 
 _ATTRS = ("n", "rw2", "rd3", "kpa", "vt", "x", "z")
+# dense plane name -> flat State attribute (identity unless listed)
+_FLAT_NAME = {"sd_th": "sstp_tmp_th", "sd_rv": "sstp_tmp_rv",
+              "sd_rh": "sstp_tmp_rh", "sd_p": "sstp_tmp_p"}
 
 
 def attrs_of(cfg: StaticConfig):
-    """Per-SD planes of the dense layout for this config (y in 3-D)."""
-    return _ATTRS + (("y",) if cfg.n_dims == 3 else ())
+    """Per-SD planes of the dense layout for this config (y in 3-D;
+    private ambient copies in exact-substepping mode)."""
+    return _ATTRS + (("y",) if cfg.n_dims == 3 else ()) \
+        + (("sd_th", "sd_rv", "sd_rh", "sd_p")
+           if cfg.exact_sstp_cond else ())
 
 
 def pack(cfg: StaticConfig, state: State, cap: int) -> DenseState:
@@ -205,7 +228,7 @@ def pack(cfg: StaticConfig, state: State, cap: int) -> DenseState:
     _supported(cfg)
     attrs = attrs_of(cfg)
     cell = jnp.where(state.n > 0, state.ijk, cfg.n_cell)
-    vals = tuple(getattr(state, a) for a in attrs)
+    vals = tuple(getattr(state, _FLAT_NAME.get(a, a)) for a in attrs)
     dense_vals, overflow = _distribute(cfg, cap, cell, vals)
     d = dict(zip(attrs, dense_vals))
     if cfg.n_dims != 3:
@@ -227,7 +250,7 @@ def unpack(cfg: StaticConfig, d: DenseState, state: State) -> State:
     does: stepping never creates SDs)."""
     n_cell, cap = d.n.shape
     attrs = attrs_of(cfg)
-    flat = {a: getattr(d, a).reshape(-1) for a in attrs}
+    flat = {a: getattr(d, a).reshape(-1) for a in attrs}  # dense names
     alive = flat["n"] > 0
     ijk = jnp.where(
         alive,
@@ -236,15 +259,15 @@ def unpack(cfg: StaticConfig, d: DenseState, state: State) -> State:
     sorted_ = jax.lax.sort(
         (deadkey, ijk) + tuple(flat[a] for a in attrs), num_keys=1)
     n_sd = state.n_sd_max
-    upd = {a: sorted_[2 + i][:n_sd] for i, a in enumerate(attrs)}
+    upd = {_FLAT_NAME.get(a, a): sorted_[2 + i][:n_sd]
+           for i, a in enumerate(attrs)}
     upd["ijk"] = sorted_[1][:n_sd]
-    return dataclasses.replace(
-        state,
-        th=d.sstp_tmp_th, rv=d.sstp_tmp_rv, p=d.p, T=d.T, RH=d.RH, eta=d.eta,
-        sstp_tmp_th=d.sstp_tmp_th, sstp_tmp_rv=d.sstp_tmp_rv,
-        sstp_tmp_rh=d.rhod,
-        key=d.key, puddle=d.puddle, **upd,
-    )
+    base = dict(th=d.sstp_tmp_th, rv=d.sstp_tmp_rv, p=d.p, T=d.T, RH=d.RH,
+                eta=d.eta, key=d.key, puddle=d.puddle)
+    if not cfg.exact_sstp_cond:
+        base.update(sstp_tmp_th=d.sstp_tmp_th, sstp_tmp_rv=d.sstp_tmp_rv,
+                    sstp_tmp_rh=d.rhod)
+    return dataclasses.replace(state, **base, **upd)
 
 
 # --------------------------------------------------------------- cond ----
@@ -264,6 +287,126 @@ def _Tpr(cfg: StaticConfig, th, rv, rhod, p0=None):
 
 
 def step_cond(cfg: StaticConfig, d: DenseState, th, rv, dt, RH_max):
+    """Condensation phase on the dense layout: percell substepping by
+    default, per-particle (exact) fixed-count substepping when configured
+    (same dispatch condition as the flat engine, particles.py
+    step_cond_body / reference particles_step.ipp:199-236)."""
+    if cfg.exact_sstp_cond and (cfg.sstp_cond > 1 or cfg.sstp_cond_act > 1):
+        return step_cond_exact(cfg, d, th, rv, dt, RH_max)
+    return _step_cond_percell(cfg, d, th, rv, dt, RH_max)
+
+
+def step_cond_exact(cfg: StaticConfig, d: DenseState, th, rv, dt, RH_max):
+    """Exact per-particle condensation substepping, cell-major — the same
+    math as condensation.cond_perparticle (reference particles_step.ipp:
+    219-232 + src/impl/condensation/perparticle/) with the per-SD ambient
+    copies as (n_cell, cap) planes, the in-cell mixing sums as row
+    reductions, and the cell closure per row.  Ends with the exact-mode
+    sstp_save (per-SD copies re-gathered from the updated cell values,
+    sstp_save.ipp:13-34)."""
+    from .condensation import (_perparticle_thermo, advance_rw2,
+                               apply_drv_to_th_rv)
+
+    sstp = cfg.sstp_cond
+    dt_sub = dt / sstp
+    mix = bool(cfg.sstp_cond_mix)
+    row = lambda a: a[:, None]
+
+    # stale mean free paths (previous step's T/p), then the Tpr refresh
+    # from the freshly advected fields — the flat step_cond_body order
+    lam_D_c, lam_K_c = hskpng.hskpng_mfp(d.T, d.p)
+    T, p, RH, eta = _Tpr(cfg, th, rv, d.rhod, d.p)
+    lam_D = row(lam_D_c)
+    lam_K = row(lam_K_c)
+
+    dlt_rv = row(rv) - d.sd_rv
+    dlt_th = row(th) - d.sd_th
+    dlt_rh = row(d.rhod) - d.sd_rh
+    dlt_p = row(p) - d.sd_p
+    live = d.n > 0
+    dv_sd = row(d.dv)
+    shape = d.rw2.shape
+
+    def substep(_, carry):
+        rw2, tmp_rv0, tmp_th0, tmp_rh, tmp_p = carry
+        tmp_rv = tmp_rv0 + dlt_rv / sstp
+        tmp_th = tmp_th0 + dlt_th / sstp
+        tmp_rh = tmp_rh + dlt_rh / sstp
+        tmp_p = tmp_p + (dlt_p / sstp if cfg.const_p else 0.0)
+
+        Tp, pp, RHp, eta_p = _perparticle_thermo(
+            cfg, tmp_th, tmp_rv, tmp_rh, tmp_p, 0.0, False)
+
+        rw3_old = rw2 * jnp.sqrt(jnp.maximum(rw2, 0.0))
+        rw2_new = advance_rw2(
+            dt_sub, rw2.ravel(), d.rd3.ravel(), d.kpa.ravel(),
+            d.vt.ravel(), tmp_rh.ravel(), tmp_rv.ravel(), Tp.ravel(),
+            pp.ravel(), RHp.ravel(), eta_p.ravel(),
+            jnp.broadcast_to(lam_D, shape).ravel(),
+            jnp.broadcast_to(lam_K, shape).ravel(), RH_max,
+        ).reshape(shape)
+        rw3_new = rw2_new * jnp.sqrt(jnp.maximum(rw2_new, 0.0))
+        drw3 = jnp.where(live, rw3_new - rw3_old, 0.0)
+
+        mlt = -(4.0 / 3) * c.pi * c.rho_w
+        drv = mlt * drw3 * d.n / tmp_rh / dv_sd
+        if mix:
+            # in-cell mixing each substep: the cell sums of drv and of the
+            # per-SD dth are shared by every SD of the row
+            # (update_pstate; flat cond_perparticle mix branch)
+            drv_eff = jnp.sum(drv, axis=1, keepdims=True)
+            dth_own = drv * theta_dry.d_th_d_rv(Tp, tmp_th)
+            cell_dth = jnp.sum(dth_own, axis=1, keepdims=True)
+            tmp_th = tmp_th0 + dlt_th / sstp + cell_dth
+            tmp_rv = tmp_rv0 + dlt_rv / sstp + drv_eff
+        else:
+            tmp_rv = tmp_rv + drv
+            tmp_th = tmp_th + drv * theta_dry.d_th_d_rv(Tp, tmp_th)
+        return (rw2_new, tmp_rv, tmp_th, tmp_rh, tmp_p)
+
+    if not mix:
+        wgt = d.n / (d.dv * d.rhod)[:, None]
+        rw3 = d.rw2 * jnp.sqrt(jnp.maximum(d.rw2, 0.0))
+        mom3_before = jnp.sum(jnp.where(live, wgt * rw3, 0.0), axis=1)
+
+    rw2, tmp_rv, tmp_th, tmp_rh, tmp_p = jax.lax.fori_loop(
+        0, sstp, substep,
+        (d.rw2, d.sd_rv, d.sd_th, d.sd_rh, d.sd_p))
+
+    if mix:
+        # every alive SD of a row carries IDENTICAL private cell values
+        # (the mixing sums are row-shared); copy any one back to the cell
+        # (update_state, particles_impl_update_th_rv.ipp:283-297)
+        cnt = jnp.sum(jnp.where(live, 1, 0), axis=1)
+        neg = jnp.array(-jnp.inf, tmp_rv.dtype)
+        pick = lambda v: jnp.max(jnp.where(live, v, neg), axis=1)
+        rv_c = jnp.where(cnt > 0, pick(tmp_rv), rv)
+        th_c = jnp.where(cnt > 0, pick(tmp_th), th)
+    else:
+        rw3 = rw2 * jnp.sqrt(jnp.maximum(rw2, 0.0))
+        mom3_after = jnp.sum(jnp.where(live, wgt * rw3, 0.0), axis=1)
+        drv_cell = (mom3_after - mom3_before) * (4.0 / 3) * c.pi * c.rho_w
+        th_c, rv_c = apply_drv_to_th_rv(cfg, th, rv, d.rhod, p, drv_cell)
+
+    # sstp_save, exact mode: per-SD copies := the UPDATED cell values;
+    # the p snapshot is the PRE-cond refresh (the reference's sstp_save
+    # runs before step_async's hskpng_Tpr).  The cell T/p/RH/eta then
+    # take the post-cond refresh that the flat pipeline gets at
+    # step_async entry (particles.py:132-167) — the dense step_async
+    # reads them directly.
+    T2, p2, RH2, eta2 = _Tpr(cfg, th_c, rv_c, d.rhod, d.p)
+    d = dataclasses.replace(
+        d, rw2=rw2, T=T2, p=p2, RH=RH2, eta=eta2,
+        sstp_tmp_th=th_c, sstp_tmp_rv=rv_c,
+        sd_th=jnp.broadcast_to(row(th_c), shape),
+        sd_rv=jnp.broadcast_to(row(rv_c), shape),
+        sd_rh=jnp.broadcast_to(row(d.rhod), shape),
+        sd_p=jnp.broadcast_to(row(p), shape),
+    )
+    return d, th_c, rv_c
+
+
+def _step_cond_percell(cfg: StaticConfig, d: DenseState, th, rv, dt, RH_max):
     """Percell substepped condensation on the dense layout — the physics of
     condensation.cond_percell/_cond_percell_sorted with the per-cell
     liquid-water sum as one row reduction (reference particles_step.ipp:
@@ -823,6 +966,10 @@ def resident_ok(cfg: StaticConfig, d: DenseState):
     if cfg.pure_const_multi:
         return False
     if d.n.dtype != jnp.float32:
+        return False
+    # the kernel implements the percell substepping only (exact mode's
+    # per-SD ambient planes run the XLA dense pipeline)
+    if cfg.exact_sstp_cond and (cfg.sstp_cond > 1 or cfg.sstp_cond_act > 1):
         return False
     # the kernel implements the 2-D th_dry/variable-p closure and
     # implicit/euler advection; 3-D, const_p/th_std and pred_corr run the

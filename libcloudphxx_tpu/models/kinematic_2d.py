@@ -171,7 +171,7 @@ class Kinematic2D:
                  backend=None, mpdata_iters=2, grid="cell", fct=False,
                  reference_rng=False, kernel_parameters=None,
                  terminal_velocity=None, rng_seed=None,
-                 relax_th_rv=False):
+                 relax_th_rv=False, opts_init_kw=None):
         """grid="cell": simple cell-centred grid (dx = X/nx), grid="node":
         the libmpdata++ node-centred interpretation the reference icicle
         uses (dx = X/(nx-1), scalar points at j*dz, SDM domain cropped to
@@ -266,6 +266,8 @@ class Kinematic2D:
             oi.kernel_parameters = (
                 list(kernel_parameters) if kernel_parameters is not None
                 else [])
+            for k, v in (opts_init_kw or {}).items():
+                setattr(oi, k, v)
             oi.terminal_velocity = (
                 terminal_velocity if terminal_velocity is not None
                 else lgrngn_mod.vt_t.beard77fast)

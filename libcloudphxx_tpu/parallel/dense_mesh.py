@@ -156,7 +156,9 @@ def dense_specs():
         sstp_tmp_th=P("x"), sstp_tmp_rv=P("x"),
         courant_x=P("x"), courant_y=P(), courant_z=P("x"),
         key=P("x"), puddle=P("x"), overflow=P("x"),
-        xkey=P())                   # deferred-x is a resident-TPU feature
+        # deferred-x / exact-substepping planes: resident-TPU / serial
+        # features, empty on the mesh (guarded in dense_step_sharded)
+        xkey=P(), sd_th=P(), sd_rv=P(), sd_rh=P(), sd_p=P())
 
 
 def scatter_dense(cfg: StaticConfig, d: DenseState, n_shards: int,
@@ -297,6 +299,13 @@ def dense_step_sharded(cfg_l: StaticConfig, sstp_coal: int, buf: int,
     (x unwrapped), distributed re-binning.
 
     Returns step(d, th, rv, dom, params, dt) -> (d, th, rv)."""
+    if cfg_l.exact_sstp_cond and (cfg_l.sstp_cond > 1
+                                  or cfg_l.sstp_cond_act > 1):
+        # the sharded migration payload does not carry the per-SD ambient
+        # planes yet — refuse rather than migrate SDs with wrong snapshots
+        raise NotImplementedError(
+            "sharded dense engine: exact substepping not supported "
+            "(flat particles_multi_t covers it)")
 
     def step(d: DenseState, th, rv, dom: ShardDomain, params, dt):
         d, thc, rvc = dense.step_cond(cfg_l, d, th, rv, dt, RH_max)
