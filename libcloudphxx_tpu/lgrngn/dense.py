@@ -128,9 +128,6 @@ def _supported(cfg: StaticConfig):
         raise NotImplementedError("dense engine: ice/chem/SGS not supported")
     if cfg.diag_incloud_time:
         raise NotImplementedError("dense engine: diag_incloud_time off only")
-    if cfg.n_dims == 3 and as_t(cfg.adve_scheme) == as_t.pred_corr:
-        raise NotImplementedError(
-            "dense engine: pred_corr is 2-D only (flat engine covers 3-D)")
 
 
 # ------------------------------------------------------------------ pack/
@@ -722,8 +719,10 @@ def adve_sedi_bcnd(cfg: StaticConfig, d: DenseState, dt, do_sedi: bool,
     row = lambda a: a[:, None]
 
     y = d.y
-    if do_adve and cfg.n_dims == 3:
-        # y axis (fre/hnd faces), same schemes as x
+    if do_adve and cfg.n_dims == 3 \
+            and as_t(cfg.adve_scheme) != as_t.pred_corr:
+        # y axis (fre/hnd faces), same schemes as x (pred_corr handles y
+        # inside its own branch below)
         if as_t(cfg.adve_scheme) == as_t.implicit:
             dCy = row(C_h - C_f)
             y = (d.y + cfg.dy * (row(C_f) - j_row * dCy)) / (1.0 - dCy)
@@ -744,30 +743,49 @@ def adve_sedi_bcnd(cfg: StaticConfig, d: DenseState, dt, do_sedi: bool,
         dCz = row(C_a - C_b)
         z = d.z + dCz * (d.z - cfg.dz * k_row) + cfg.dz * row(C_b)
     else:  # pred_corr (adve.ipp:184-304, mirroring transport.adve)
-        x_old, z_old = d.x, d.z
+        from . import transport as transport_mod
+        x_old, z_old, y_old = d.x, d.z, d.y
         dCx = row(C_r - C_l)
         x = d.x + dCx * (d.x - cfg.dx * i_row) + cfg.dx * row(C_l)
         dCz = row(C_a - C_b)
         z = d.z + dCz * (d.z - cfg.dz * k_row) + cfg.dz * row(C_b)
+        if cfg.n_dims == 3:
+            dCy = row(C_h - C_f)
+            y = d.y + dCy * (d.y - cfg.dy * j_row) + cfg.dy * row(C_f)
         z = jnp.clip(z, cfg.z0 + 1e-8 * cfg.dz, cfg.z1 - 1e-8 * cfg.dz)
         if x_wrap and not cfg.open_side_walls:
             x_wr = cfg.x0 + jnp.remainder(x - cfg.x0, cfg.x1 - cfg.x0)
             x_old = x_old + (x_wr - x)
             x = x_wr
+            if cfg.n_dims == 3:
+                y_wr = cfg.y0 + jnp.remainder(y - cfg.y0, cfg.y1 - cfg.y0)
+                y_old = y_old + (y_wr - y)
+                y = y_wr
         # corrector courants at the predictor cell — cross-row, so a
         # per-SD gather into the SMALL staggered fields (the one gather
-        # the dense layout cannot turn into a broadcast)
-        ijk_mid = hskpng.ijk_of_xyz(cfg, x, x, z).astype(jnp.int32)
-        i_mid = (ijk_mid // nz).astype(d.x.dtype)
-        k_mid = (ijk_mid % nz).astype(d.x.dtype)
-        Cl_m = d.courant_x[ijk_mid]
-        Cr_m = d.courant_x[ijk_mid + nz]
-        Cb_m = d.courant_z[ijk_mid + (ijk_mid // nz)]
-        Ca_m = d.courant_z[ijk_mid + (ijk_mid // nz) + 1]
-        dx_ = (Cr_m - Cl_m) * (x - cfg.dx * i_mid) + cfg.dx * Cl_m
-        dz_ = (Ca_m - Cb_m) * (z - cfg.dz * k_mid) + cfg.dz * Cb_m
+        # the dense layout cannot turn into a broadcast); the index math
+        # is shared with the flat engine (transport.courant_indices)
+        yy = y if cfg.n_dims == 3 else x
+        ijk_mid = hskpng.ijk_of_xyz(cfg, x, yy, z).astype(jnp.int32)
+        (lft, rgt), (fre, hnd), (blw, abv) = transport_mod.courant_indices(
+            cfg, ijk_mid)
+        i_m, j_m, k_m = transport_mod._decompose(cfg, ijk_mid)
+        i_m = i_m.astype(d.x.dtype)
+        k_m = k_m.astype(d.x.dtype)
+        Cl_m = d.courant_x[lft]
+        Cr_m = d.courant_x[rgt]
+        Cb_m = d.courant_z[blw]
+        Ca_m = d.courant_z[abv]
+        dx_ = (Cr_m - Cl_m) * (x - cfg.dx * i_m) + cfg.dx * Cl_m
+        dz_ = (Ca_m - Cb_m) * (z - cfg.dz * k_m) + cfg.dz * Cb_m
         x = (x + x_old + dx_) / 2.0
         z = (z + z_old + dz_) / 2.0
+        if cfg.n_dims == 3:
+            j_m = j_m.astype(d.x.dtype)
+            Cf_m = d.courant_y[fre]
+            Ch_m = d.courant_y[hnd]
+            dy_ = (Ch_m - Cf_m) * (y - cfg.dy * j_m) + cfg.dy * Cf_m
+            y = (y + y_old + dy_) / 2.0
 
     if do_sedi:
         z = z - dt * d.vt

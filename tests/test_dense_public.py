@@ -213,10 +213,12 @@ def test_dense_public_widened_configs(variant):
     np.testing.assert_allclose(RH_d, RH_f, rtol=1e-10)
 
 
-@pytest.mark.parametrize("do_coal", [False, True])
-def test_dense_public_3d(do_coal):
+@pytest.mark.parametrize("do_coal,scheme", [
+    (False, "implicit"), (True, "implicit"), (False, "pred_corr")])
+def test_dense_public_3d(do_coal, scheme):
     """Round-4: the dense engine runs 3-D through the public factory path
-    (row = (i*ny+j)*nz + k; rebin phases z -> y -> x) and matches the flat
+    (row = (i*ny+j)*nz + k; rebin phases z -> y -> x; all three advection
+    schemes incl. the two-pass predictor-corrector) and matches the flat
     engine — exactly with coalescence off, conservatively with it on."""
     N = 4
 
@@ -226,6 +228,8 @@ def test_dense_public_3d(do_coal):
             oi = lgrngn.opts_init_t()
             oi.dry_distros = {(0.61, 0.0): lognormal}
             oi.coal_switch = do_coal
+            if scheme == "pred_corr":
+                oi.adve_scheme = lgrngn.as_t.pred_corr
             if do_coal:
                 oi.kernel = lgrngn.kernel_t.geometric
             oi.terminal_velocity = lgrngn.vt_t.beard77
