@@ -4,12 +4,15 @@ Runs the canonical GMD-2015 kinematic workload configuration (76x76 cells,
 sd_conc=64, sstp_cond=sstp_coal=10 — BASELINE.md canonical + travis config)
 fully device-resident and reports one JSON line.
 
-The stepping backend is the dense cell-major engine (lgrngn/dense.py:
-occupancy-matrix layout, Pallas condensation + Pallas coalescence kernels,
-one fused jitted step chained from the host — lax.scan pessimises the
-sort/gather pipeline ~11x on TPU, tools/profile_dense3.py).  If the dense
-engine cannot run the configuration it falls back to the flat engine, so
-the bench always produces a number.
+The stepping backend is the dense cell-major engine (lgrngn/dense.py):
+the whole microphysics step plus the z phase of the re-binning run as ONE
+resident Pallas kernel (ops/pallas_step), the x phase as a small windowed
+merge kernel, MPDATA as one two-field kernel (mpdata.advect2).  The old
+lax.scan pessimisation is gone with the resident kernel (PERF_r04.md) —
+scan and host-chaining now measure equal, so the host-chained loop stays
+for its compile-once simplicity.  If the dense engine cannot run the
+configuration it falls back to the flat engine, so the bench always
+produces a number.
 
 An "SD update" = one super-droplet advanced through one full model timestep.
 vs_baseline is the ratio against the last locally recorded value in
