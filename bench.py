@@ -42,6 +42,60 @@ SSTP_COAL = 10
 N_STEPS = 100
 
 
+def physics_checks(model, water0, dry0):
+    """Per-rep physics gates (VERDICT r4 weak #3): a silently-corrupted
+    population must not be able to print a headline number.
+
+    - total water (vapour + liquid + puddle) conserved vs the initial state
+    - dry-aerosol volume (SDs + puddle) conserved
+    - th/rv/rw2 within physical ranges, everything finite
+    Returns the dict merged into the JSON line; raises on violation."""
+    from libcloudphxx_tpu.common import constants as c
+    p = model.prtcls
+    n = p.get_attr("n")
+    rw2 = p.get_attr("rw2")
+    rd3 = p.get_attr("rd3")
+    alive = n > 0
+    water, dry = water_dry_totals(model)
+    assert np.isfinite(model.th).all() and np.isfinite(model.rv).all(), \
+        "bench checks: non-finite th/rv"
+    assert (model.th > 250.0).all() and (model.th < 350.0).all(), \
+        "bench checks: th outside [250, 350] K"
+    assert (model.rv > 0.0).all() and (model.rv < 0.03).all(), \
+        "bench checks: rv outside (0, 0.03)"
+    assert np.isfinite(rw2[alive]).all() and (rw2[alive] > 0).all(), \
+        "bench checks: non-physical rw2"
+    assert rw2[alive].max() < (5e-3) ** 2, "bench checks: rw > 5 mm"
+    assert (rd3[alive] > 0).all(), "bench checks: non-positive rd3"
+    dw = abs(water - water0) / water0
+    dd = abs(dry - dry0) / dry0
+    assert dw < 1e-3, f"bench checks: water conservation off by {dw:.2e}"
+    assert dd < 1e-4, f"bench checks: dry-mass conservation off by {dd:.2e}"
+    return {"water_rel_err": float(dw), "dry_rel_err": float(dd)}
+
+
+def water_dry_totals(model):
+    """Total water mass [kg] (vapour + liquid + puddle) and dry-aerosol
+    volume-sum [m^3-equivalent n*rd^3] incl. the puddle accumulators."""
+    from libcloudphxx_tpu.common import constants as c
+    p = model.prtcls
+    n = p.get_attr("n")
+    rw2 = p.get_attr("rw2")
+    rd3 = p.get_attr("rd3")
+    alive = n > 0
+    dv = np.asarray(p.state.dv)
+    rhod = np.asarray(p.state.rhod)
+    rv = np.asarray(model.rv).reshape(-1)
+    vap = float((rhod * dv * rv).sum())
+    liq = float(
+        (4.0 / 3) * np.pi * c.rho_w * (n[alive] * rw2[alive] ** 1.5).sum())
+    pud = p.diag_puddle()
+    liq += c.rho_w * pud["liq_vol"]
+    dry = float((n[alive] * rd3[alive]).sum()) \
+        + pud["dry_vol"] / ((4.0 / 3) * np.pi)
+    return vap + liq, dry
+
+
 def run_engine(model, engine, n_steps, reps=3):
     """Best of ``reps`` timed runs of the SAME canonical from-init
     workload: every rep restores the initial state, so each times the
@@ -57,20 +111,26 @@ def run_engine(model, engine, n_steps, reps=3):
         model.prtcls.state = state0
         model.th, model.rv = th0.copy(), rv0.copy()
 
+    water0, dry0 = water_dry_totals(model)
     model.run_device_lgrngn(n_steps, engine=engine)  # compile + warm
     print(f"# warmup done ({engine})", file=sys.stderr, flush=True)
     best = float("inf")
+    checks = None
     for _ in range(reps):
         reset()
         t0 = time.perf_counter()
         model.run_device_lgrngn(n_steps, engine=engine)
         jax.block_until_ready(model.prtcls.state.th)
         elapsed = time.perf_counter() - t0
-        print(f"# rep: {elapsed/n_steps*1e3:.2f} ms/step",
+        # physics gates on the evolved population of EVERY timed rep
+        checks = physics_checks(model, water0, dry0)
+        print(f"# rep: {elapsed/n_steps*1e3:.2f} ms/step  (checks ok: "
+              f"water {checks['water_rel_err']:.1e}, dry "
+              f"{checks['dry_rel_err']:.1e})",
               file=sys.stderr, flush=True)
         best = min(best, elapsed)
     reset()
-    return best
+    return best, checks
 
 
 def main():
@@ -89,7 +149,7 @@ def main():
     # must always produce a number
     engine = "dense"
     try:
-        elapsed = run_engine(model, "dense", N_STEPS)
+        elapsed, checks = run_engine(model, "dense", N_STEPS)
     except Exception as e:
         print(f"# dense+pallas-coal failed ({type(e).__name__}: {e}); "
               f"retrying without the coal kernel", file=sys.stderr,
@@ -97,13 +157,13 @@ def main():
         model._lgrngn_runners = {}
         os.environ["LIBCLOUD_PALLAS_COAL"] = "0"
         try:
-            elapsed = run_engine(model, "dense", N_STEPS)
+            elapsed, checks = run_engine(model, "dense", N_STEPS)
             engine = "dense/no-coal-kernel"
         except Exception as e2:
             print(f"# dense failed ({type(e2).__name__}: {e2}); "
                   f"falling back to flat", file=sys.stderr, flush=True)
             engine = "flat"
-            elapsed = run_engine(model, "flat", N_STEPS)
+            elapsed, checks = run_engine(model, "flat", N_STEPS)
 
     sd_updates_per_s = n_sd * N_STEPS / elapsed
     grid_points_per_s = NX * NZ * N_STEPS / elapsed
@@ -129,6 +189,8 @@ def main():
         "value": round(sd_updates_per_s, 1),
         "unit": "SD-updates/s",
         "vs_baseline": round(vs_baseline, 3),
+        "checks": "ok" if checks is not None else "skipped",
+        **(checks or {}),
     }))
 
 

@@ -44,8 +44,15 @@ def _root_iters(dtype):
     iterations sit at the same converged f32 noise floor as 16 (max rel
     drw2 3.8e-5 vs 2.4e-5 against a 24-iteration reference; the
     reference's own f32 tolerance is 8e-3) while each iteration costs
-    ~0.44 ms/step in the resident kernel.  The f64 parity path keeps 32."""
-    return 32 if jnp.dtype(dtype).itemsize == 8 else 12
+    ~0.44 ms/step in the resident kernel.  The f64 parity path keeps 32.
+
+    The 3.8e-5 figure is shape-specific (that one population);
+    LIBCLOUD_ROOT_ITERS_F32 restores a higher count for atypical
+    populations without a code edit."""
+    import os
+    if jnp.dtype(dtype).itemsize == 8:
+        return 32
+    return int(os.environ.get("LIBCLOUD_ROOT_ITERS_F32", "12"))
 
 
 def drw2_dt(rw2, rd3, kpa, vt, rhod, rv, T, p, RH, eta, lambda_D, lambda_K,

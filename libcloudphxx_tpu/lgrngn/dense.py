@@ -451,9 +451,20 @@ def _step_cond_percell(cfg: StaticConfig, d: DenseState, th, rv, dt, RH_max):
 
     rw2, th, rv = jax.lax.fori_loop(0, sstp, substep, (d.rw2, th0, rv0))
     T, p, RH, eta = _Tpr(cfg, th, rv, d.rhod, d.p)
+    upd = {}
+    if cfg.exact_sstp_cond:
+        # exact mode dispatched here because sstp_cond == 1: still refresh
+        # the per-SD ambient planes like the flat engine's per-step
+        # sstp_save(exact=True) — they ride the re-binning, so leaving
+        # them stale breaks state parity silently (ADVICE r4)
+        shape = d.rw2.shape
+        row = lambda a: jnp.broadcast_to(a[:, None], shape)
+        upd = dict(sd_th=row(th), sd_rv=row(rv), sd_rh=row(d.rhod),
+                   sd_p=row(p))
     d = dataclasses.replace(
         d, rw2=rw2, T=T, p=p, RH=RH, eta=eta,
         sstp_tmp_th=th, sstp_tmp_rv=rv,  # sstp_save (sstp_save.ipp:7-35)
+        **upd,
     )
     return d, th, rv
 
@@ -985,9 +996,11 @@ def resident_ok(cfg: StaticConfig, d: DenseState):
         return False
     if d.n.dtype != jnp.float32:
         return False
-    # the kernel implements the percell substepping only (exact mode's
-    # per-SD ambient planes run the XLA dense pipeline)
-    if cfg.exact_sstp_cond and (cfg.sstp_cond > 1 or cfg.sstp_cond_act > 1):
+    # the kernel implements the percell substepping only; ANY exact-mode
+    # config carries per-SD ambient planes that the in-kernel re-binning
+    # does not ride (even at sstp_cond == 1, where cond dispatches
+    # percell) — XLA dense pipeline for all of it (ADVICE r4)
+    if cfg.exact_sstp_cond:
         return False
     # the kernel implements the 2-D th_dry/variable-p closure and
     # implicit/euler advection; 3-D, const_p/th_std and pred_corr run the
@@ -998,8 +1011,21 @@ def resident_ok(cfg: StaticConfig, d: DenseState):
         return False
     if as_t(cfg.adve_scheme) not in (as_t.implicit, as_t.euler):
         return False
-    # on-core PRNG has no CPU lowering — TPU only
-    return jax.default_backend() == "tpu"
+    # on-core PRNG has no CPU lowering — TPU only (the Mosaic interpreter
+    # covers CPU conformance runs, with coal routed through the XLA path:
+    # _resident_interpret)
+    return jax.default_backend() == "tpu" or _resident_interpret()
+
+
+def _resident_interpret():
+    """True when the resident kernel should run through the Mosaic
+    interpreter (LIBCLOUD_RESIDENT=interpret off-TPU) — CPU conformance
+    coverage of the TPU code path.  The on-core PRNG has no interpreter
+    lowering, so the phase dispatcher routes coalescence through the XLA
+    path in this mode."""
+    import os
+    return (os.environ.get("LIBCLOUD_RESIDENT", "auto") == "interpret"
+            and jax.default_backend() != "tpu")
 
 
 def rebin_block_rows(cfg: StaticConfig, limit: int = 256):
@@ -1032,29 +1058,147 @@ def step_fused(cfg: StaticConfig, d: DenseState, th_adv, rv_adv, params, dt,
 
     Same phase order as step_cond + step_async (reference
     particles_step.ipp:161-494); returns (DenseState, th, rv)."""
+    return _resident_phases(
+        cfg, d, th_adv, rv_adv, params, dt, RH_max, sstp_coal,
+        do_cond=True, do_coal=do_coal, do_adve=True, do_sedi=do_sedi,
+        do_subs=False, w_LS=None)
+
+
+def step_cond_resident(cfg: StaticConfig, d: DenseState, th_adv, rv_adv,
+                       dt, RH_max):
+    """The condensation phase ALONE on the resident kernel — the cond half
+    of step_fused for the public 3-phase API (dense_front._step_cond_impl;
+    reference particles_step.ipp:161-336 less chemistry).  Returns
+    (DenseState, th, rv) with the post-cond cell values, leaving transport
+    to step_async_resident."""
+    params = jnp.zeros((0,), jnp.float32)
+    return _resident_phases(
+        cfg, d, th_adv, rv_adv, params, dt, RH_max, 1,
+        do_cond=True, do_coal=False, do_adve=False, do_sedi=False,
+        do_subs=False, w_LS=None)
+
+
+def step_async_resident(cfg: StaticConfig, d: DenseState, params, dt,
+                        sstp_coal: int, do_coal: bool, do_sedi: bool,
+                        do_adve: bool = True, do_subs: bool = False,
+                        w_LS=None) -> DenseState:
+    """The transport phase ALONE on the resident kernel — the async half
+    of step_fused for the public 3-phase API (coal substeps + vterm +
+    adve/sedi/subs + walls/puddle + in-kernel re-binning; reference
+    particles_step.ipp:339-494)."""
+    d, _th, _rv = _resident_phases(
+        cfg, d, d.sstp_tmp_th, d.sstp_tmp_rv, params, dt, 44.0, sstp_coal,
+        do_cond=False, do_coal=do_coal, do_adve=do_adve, do_sedi=do_sedi,
+        do_subs=do_subs, w_LS=w_LS)
+    return d
+
+
+def _resident_phases(cfg: StaticConfig, d: DenseState, th_adv, rv_adv,
+                     params, dt, RH_max, sstp_coal: int, *, do_cond: bool,
+                     do_coal: bool, do_adve: bool, do_sedi: bool,
+                     do_subs: bool, w_LS):
+    """Shared dispatcher behind step_fused / step_cond_resident /
+    step_async_resident: one step_resident pallas_call with the phase
+    flags, plus the XLA-side tail (puddle fold, rebin_x, far-mover
+    repair).  In interpreter mode (CPU conformance, _resident_interpret)
+    coalescence routes through the XLA coal() — the on-core PRNG has no
+    interpreter lowering — by splitting the call around it."""
+    if _resident_interpret():
+        # CPU conformance: run the kernels through the Mosaic interpreter
+        # (the context participates in the jit cache key); pltpu.roll and
+        # the in-kernel bitonic network interpret fine — only the on-core
+        # PRNG does not, so coal is routed through the XLA path below
+        from jax.experimental.pallas import tpu as pltpu
+        with pltpu.force_tpu_interpret_mode():
+            return _resident_phases_interp(
+                cfg, d, th_adv, rv_adv, params, dt, RH_max, sstp_coal,
+                do_cond=do_cond, do_coal=do_coal, do_adve=do_adve,
+                do_sedi=do_sedi, do_subs=do_subs, w_LS=w_LS)
+    return _resident_phases_impl(
+        cfg, d, th_adv, rv_adv, params, dt, RH_max, sstp_coal,
+        do_cond=do_cond, do_coal=do_coal, do_adve=do_adve,
+        do_sedi=do_sedi, do_subs=do_subs, w_LS=w_LS)
+
+
+def _resident_phases_interp(cfg, d, th_adv, rv_adv, params, dt, RH_max,
+                            sstp_coal, *, do_cond, do_coal, do_adve,
+                            do_sedi, do_subs, w_LS):
+    do_transport = do_adve or do_sedi or do_subs
+    if do_coal:
+        if do_cond:
+            d, th, rv = _resident_phases_impl(
+                cfg, d, th_adv, rv_adv, params, dt, RH_max, 1,
+                do_cond=True, do_coal=False, do_adve=False, do_sedi=False,
+                do_subs=False, w_LS=None)
+        else:
+            th, rv = d.sstp_tmp_th, d.sstp_tmp_rv
+        d = coal(cfg, d, params, dt, sstp_coal)
+        if do_transport:
+            d, th, rv = _resident_phases_impl(
+                cfg, d, th, rv, params, dt, RH_max, 1,
+                do_cond=False, do_coal=False, do_adve=do_adve,
+                do_sedi=do_sedi, do_subs=do_subs, w_LS=w_LS)
+        return d, th, rv
+    return _resident_phases_impl(
+        cfg, d, th_adv, rv_adv, params, dt, RH_max, sstp_coal,
+        do_cond=do_cond, do_coal=False, do_adve=do_adve,
+        do_sedi=do_sedi, do_subs=do_subs, w_LS=w_LS)
+
+
+def _resident_phases_impl(cfg, d, th_adv, rv_adv, params, dt, RH_max,
+                          sstp_coal, *, do_cond, do_coal, do_adve,
+                          do_sedi, do_subs, w_LS):
     import os
     from ..ops.pallas_step import rebin_x, step_resident
     from .state import OUT_DRY_VOL, OUT_LIQ_NUM, OUT_LIQ_VOL, OUT_PRTCL_NUM
 
-    kernel_rebin = os.environ.get("LIBCLOUD_REBIN_KERNEL", "1") == "1" \
+    do_transport = do_adve or do_sedi or do_subs
+    kernel_rebin = do_transport \
+        and os.environ.get("LIBCLOUD_REBIN_KERNEL", "1") == "1" \
         and rebin_block_rows(cfg) > 0
-    block_rows = rebin_block_rows(cfg) if kernel_rebin else 128
+    block_rows = rebin_block_rows(cfg) if kernel_rebin \
+        else (rebin_block_rows(cfg) or 128)
 
-    key, sub = jax.random.split(d.key)
-    seed = jax.random.randint(sub, (), 0, jnp.int32(2**31 - 1))
+    if do_coal:
+        key, sub = jax.random.split(d.key)
+        seed = jax.random.randint(sub, (), 0, jnp.int32(2**31 - 1))
+    else:
+        # no RNG consumer this call — leave the key chain untouched, like
+        # the XLA phases
+        key = d.key
+        seed = jnp.int32(0)
     lam_D, lam_K = hskpng.hskpng_mfp(d.T, d.p)  # stale, see step_cond
-    C_l, C_r, C_b, C_a = _row_courants(cfg, d)
+    if do_adve:
+        C_l, C_r, C_b, C_a = _row_courants(cfg, d)
+    else:
+        C_l = C_r = C_b = C_a = jnp.zeros_like(d.rhod)
+    if do_subs and w_LS is not None:
+        idx = jnp.arange(cfg.n_cell, dtype=jnp.int32)
+        w_cells = jnp.asarray(w_LS)[idx % cfg.nz]
+    else:
+        w_cells = jnp.zeros_like(d.rhod)
 
     deferred = kernel_rebin and d.xkey.size > 0
     (n, rw2, rd3, kpa, vt, x, z, xkey, th, rv, T, p, RH, eta,
      pud) = step_resident(
         cfg, int(cfg.sstp_cond), int(sstp_coal), float(dt), float(RH_max),
-        bool(do_coal), bool(do_sedi), False, seed, params,
+        bool(do_coal), bool(do_sedi), bool(do_subs), seed, params,
         d.n, d.rw2, d.rd3, d.kpa, d.x, d.z,
         th_adv, rv_adv, d.sstp_tmp_th, d.sstp_tmp_rv, d.rhod, d.dv,
-        lam_D, lam_K, C_l, C_r, C_b, C_a, jnp.zeros_like(d.rhod),
+        lam_D, lam_K, C_l, C_r, C_b, C_a, w_cells,
         d.xkey if deferred else None,
+        do_cond=bool(do_cond), do_adve=bool(do_adve),
         block_rows=block_rows, do_rebin=kernel_rebin)
+
+    if not do_transport:
+        # cond-only phase: positions/vt untouched (the kernel passes them
+        # through; vt_out is the stale plane it reconstructed — identical
+        # to d.vt by the sstp_tmp invariant, see the kernel comment)
+        d = dataclasses.replace(
+            d, n=n, rw2=rw2, rd3=rd3, kpa=kpa, x=x, z=z,
+            T=T, p=p, RH=RH, eta=eta,
+            sstp_tmp_th=th, sstp_tmp_rv=rv, key=key)
+        return d, th, rv
 
     puddle = d.puddle
     pud = pud.astype(puddle.dtype)

@@ -24,8 +24,10 @@ sort in hskpng_sort / moms_calc anyway).
 
 import dataclasses
 import functools
+import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from . import dense
@@ -38,6 +40,13 @@ _step_async_dense = jax.jit(
     static_argnums=(0,),
     static_argnames=("sstp_coal", "do_coal", "do_sedi", "do_adve",
                      "do_subs"))
+# the resident-kernel halves of the 3-phase contract (dense.step_*_resident
+# wrap ops/pallas_step.step_resident, whose own jit treats dt/RH_max etc.
+# as static — so they must be static here too)
+_step_cond_res = jax.jit(dense.step_cond_resident, static_argnums=(0, 4, 5))
+_step_async_res = jax.jit(
+    dense.step_async_resident,
+    static_argnums=(0, 3, 4, 5, 6, 7, 8))
 
 
 # per-SD attributes carried through the dense layout; the rest keep a stale
@@ -69,6 +78,12 @@ class particles_dense_t(particles_t):
         # 2x the densest initial cell, 8-lane aligned (bench convention);
         # row overflow during the run raises loudly (no silent drops)
         self._cap = max(8, int(-(-2 * int(counts.max()) // 8) * 8))
+        if os.environ.get("LIBCLOUD_RESIDENT", "auto") != "0" and (
+                jax.default_backend() == "tpu"
+                or os.environ.get("LIBCLOUD_DENSE_F32", "0") == "1"):
+            # resident-kernel candidates need a power-of-two row width
+            # (the in-row bitonic network mis-sorts any other width)
+            self._cap = 1 << (self._cap - 1).bit_length()
         self._loc = "flat"
         self._d = None
         self._dense_stepped = False
@@ -79,6 +94,12 @@ class particles_dense_t(particles_t):
         if self._loc != "dense":
             self._d = jax.jit(dense.pack, static_argnums=(0, 2))(
                 self.cfg, self.state, self._cap)
+            if os.environ.get("LIBCLOUD_DENSE_F32", "0") == "1":
+                # CPU conformance of the TPU f32 resident path (on real
+                # TPU the state is f32 already — x64 is unavailable)
+                f32 = lambda a: (a.astype(jnp.float32)
+                                 if a.dtype == jnp.float64 else a)
+                self._d = jax.tree.map(f32, self._d)
             if float(self._d.overflow):
                 raise RuntimeError(
                     f"lgrngn dense engine: initial population exceeds row "
@@ -142,11 +163,21 @@ class particles_dense_t(particles_t):
                                            ice_nucl, cond, var_rho)
         self._ensure_dense()
         cfg_dt = self._cfg_for_dt(self.cfg, dt)
+        cast = lambda a: a.astype(self._d.n.dtype)
         d = dataclasses.replace(
-            self._d, rhod=state.rhod,
-            courant_x=state.courant_x, courant_z=state.courant_z)
-        d, thc, rvc = _step_cond_dense(cfg_dt, d, state.th, state.rv, dt,
-                                       RH_max)
+            self._d, rhod=cast(state.rhod),
+            courant_x=cast(state.courant_x),
+            courant_y=cast(state.courant_y),
+            courant_z=cast(state.courant_z))
+        if dense.resident_ok(cfg_dt, d):
+            # the fast path: the cond half of the resident Pallas kernel
+            # (the same kernel the device-resident model loop runs)
+            d, thc, rvc = _step_cond_res(cfg_dt, d, cast(state.th),
+                                         cast(state.rv), float(dt),
+                                         float(RH_max))
+        else:
+            d, thc, rvc = _step_cond_dense(cfg_dt, d, cast(state.th),
+                                           cast(state.rv), dt, RH_max)
         self._d = d
         self._dense_stepped = True
         return dataclasses.replace(
@@ -165,11 +196,20 @@ class particles_dense_t(particles_t):
             self._ensure_flat()
             return _step_async_jit(self.cfg, sstp, switches, state, params,
                                    w_LS, sgs_mix_len, dt)
-        d = _step_async_dense(
-            self.cfg, self._d, params.astype(self._d.n.dtype), dt,
-            sstp_coal=int(sstp), do_coal=bool(do_coal),
-            do_sedi=bool(do_sedi), do_adve=bool(do_adve),
-            do_subs=bool(do_subs), w_LS=w_LS.astype(self._d.n.dtype))
+        if dense.resident_ok(self.cfg, self._d):
+            # the async half of the resident Pallas kernel: coal substeps +
+            # vterm + adve/sedi/subs + walls + in-kernel re-binning
+            d = _step_async_res(
+                self.cfg, self._d, params.astype(self._d.n.dtype),
+                float(dt), int(sstp), bool(do_coal), bool(do_sedi),
+                bool(do_adve), bool(do_subs),
+                w_LS.astype(self._d.n.dtype))
+        else:
+            d = _step_async_dense(
+                self.cfg, self._d, params.astype(self._d.n.dtype), dt,
+                sstp_coal=int(sstp), do_coal=bool(do_coal),
+                do_sedi=bool(do_sedi), do_adve=bool(do_adve),
+                do_subs=bool(do_subs), w_LS=w_LS.astype(self._d.n.dtype))
         dropped = float(d.overflow)
         if dropped:
             raise RuntimeError(

@@ -266,11 +266,16 @@ class Kinematic2D:
             oi.kernel_parameters = (
                 list(kernel_parameters) if kernel_parameters is not None
                 else [])
-            for k, v in (opts_init_kw or {}).items():
-                setattr(oi, k, v)
             oi.terminal_velocity = (
                 terminal_velocity if terminal_velocity is not None
                 else lgrngn_mod.vt_t.beard77fast)
+            # applied LAST so every key can override the defaults above;
+            # unknown keys raise instead of silently creating attributes
+            for k, v in (opts_init_kw or {}).items():
+                if not hasattr(oi, k):
+                    raise ValueError(
+                        f"kinematic_2d: unknown opts_init field {k!r}")
+                setattr(oi, k, v)
             ambient_chem = None
             if micro == "lgrngn_chem":
                 # trace-gas fields from volume mixing ratios

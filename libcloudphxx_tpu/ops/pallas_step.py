@@ -107,8 +107,8 @@ def _xmerge_values(nz, q, keys_lcr, planes_lcr):
     return outs, drops
 
 
-def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
-            do_subs, block_rows, do_rebin, do_xmerge,
+def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
+            do_adve, do_sedi, do_subs, block_rows, do_rebin, do_xmerge,
             *refs):
     seed_ref, params_ref = refs[0], refs[1]
     pos = 2
@@ -160,45 +160,52 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
     lam_K = lamK_ref[:]
     params = jnp.stack([params_ref[0]])
 
+    do_transport = do_adve or do_sedi or do_subs
     # ---------------- condensation: percell substepping -----------------
     # (reference particles_step.ipp:237-256 + sstp_percell_step.ipp:7-49;
-    # same math as lgrngn/dense.step_cond)
+    # same math as lgrngn/dense.step_cond).  With do_cond=False (the
+    # transport-only phase of the public 3-phase API) th0/rv0 carry the
+    # POST-cond cell values and only the T/p/RH/eta closure runs.
     th0 = th0_ref[:]
     rv0 = rv0_ref[:]
-    dth = (thadv_ref[:] - th0) / sstp_cond
-    drv_adv = (rvadv_ref[:] - rv0) / sstp_cond
-    dt_sub_c = dt / sstp_cond
-    wgt = n * jnp.float32((4.0 / 3) * c.pi * c.rho_w) / (dv * rhod)
-    # vt is STALE during cond (dense.step_cond uses d.vt, the refresh at
-    # the end of the previous step_async).  That refresh used T/p derived
-    # from th0/rv0 (= sstp_tmp, saved at the previous cond phase's end) and
-    # the CURRENT rw2 (transport does not change rw2), so recomputing it
-    # here from (rw2, th0, rv0) reproduces the stored plane exactly —
-    # saving one input plane.
-    T_prev = theta_dry.T(th0, rhod)
-    p_prev = theta_dry.p(rhod, rv0, T_prev)
-    eta_prev = cv.visc(T_prev)
-    vt = _vt_in_kernel(cfg, rw2, T_prev, p_prev, rhod, eta_prev)
+    if do_cond:
+        dth = (thadv_ref[:] - th0) / sstp_cond
+        drv_adv = (rvadv_ref[:] - rv0) / sstp_cond
+        dt_sub_c = dt / sstp_cond
+        wgt = n * jnp.float32((4.0 / 3) * c.pi * c.rho_w) / (dv * rhod)
+        # vt is STALE during cond (dense.step_cond uses d.vt, the refresh
+        # at the end of the previous step_async).  That refresh used T/p
+        # derived from th0/rv0 (= sstp_tmp, saved at the previous cond
+        # phase's end) and the CURRENT rw2 (transport does not change
+        # rw2), so recomputing it here from (rw2, th0, rv0) reproduces the
+        # stored plane exactly — saving one input plane.
+        T_prev = theta_dry.T(th0, rhod)
+        p_prev = theta_dry.p(rhod, rv0, T_prev)
+        eta_prev = cv.visc(T_prev)
+        vt = _vt_in_kernel(cfg, rw2, T_prev, p_prev, rhod, eta_prev)
 
-    def cond_sub(_, carry):
-        rw2, th, rv = carry
-        th = th + dth
-        rv = rv + drv_adv
-        T = theta_dry.T(th, rhod)
-        p = theta_dry.p(rhod, rv, T)
-        RH = hskpng.RH_of(cfg, p, rv, T)
-        eta = cv.visc(T)
-        rw2n = _advance_rw2_core(
-            dt_sub_c, rw2, rd3, kpa, vt, rhod, rv, T, p, RH, eta,
-            lam_D, lam_K, jnp.float32(RH_max))
-        drw3 = rw2n * jnp.sqrt(rw2n) - rw2 * jnp.sqrt(jnp.maximum(rw2, 0.0))
-        dcell = -jnp.sum(wgt * drw3, axis=1, keepdims=True)
-        rv = rv + dcell
-        th = th + dcell * theta_dry.d_th_d_rv(T, th)
-        return rw2n, th, rv
+        def cond_sub(_, carry):
+            rw2, th, rv = carry
+            th = th + dth
+            rv = rv + drv_adv
+            T = theta_dry.T(th, rhod)
+            p = theta_dry.p(rhod, rv, T)
+            RH = hskpng.RH_of(cfg, p, rv, T)
+            eta = cv.visc(T)
+            rw2n = _advance_rw2_core(
+                dt_sub_c, rw2, rd3, kpa, vt, rhod, rv, T, p, RH, eta,
+                lam_D, lam_K, jnp.float32(RH_max))
+            drw3 = rw2n * jnp.sqrt(rw2n) \
+                - rw2 * jnp.sqrt(jnp.maximum(rw2, 0.0))
+            dcell = -jnp.sum(wgt * drw3, axis=1, keepdims=True)
+            rv = rv + dcell
+            th = th + dcell * theta_dry.d_th_d_rv(T, th)
+            return rw2n, th, rv
 
-    rw2, th, rv = jax.lax.fori_loop(
-        0, sstp_cond, cond_sub, (rw2, th0, rv0))
+        rw2, th, rv = jax.lax.fori_loop(
+            0, sstp_cond, cond_sub, (rw2, th0, rv0))
+    else:
+        th, rv = th0, rv0
     T = theta_dry.T(th, rhod)
     p = theta_dry.p(rhod, rv, T)
     RH = hskpng.RH_of(cfg, p, rv, T)
@@ -238,61 +245,67 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
         _, (n, rw2, rd3, kpa) = bitonic_sort_rows(
             idp, (n, rw2, rd3, kpa))
 
-    # final vterm refresh (hskpng_vterm_invalid after the last substep)
-    vt = _vt_in_kernel(cfg, rw2, T, p, rhod, eta)
+    # final vterm refresh (hskpng_vterm_invalid after the last substep /
+    # hskpng_vterm_all at step_async entry).  The cond-only phase keeps
+    # the stale plane instead — the XLA step_cond never touches vt.
+    if do_transport or not do_cond:
+        vt = _vt_in_kernel(cfg, rw2, T, p, rhod, eta)
 
     # ---------------- advection + sedi + subs + walls --------------------
     # (same math as lgrngn/dense.adve_sedi_bcnd, row-local)
     i_row = irow_ref[:]
     k_row = krow_ref[:]
-    C_l = cl_ref[:]
-    C_r = cr_ref[:]
-    C_b = cb_ref[:]
-    C_a = ca_ref[:]
     dx = jnp.float32(cfg.dx)
     dz = jnp.float32(cfg.dz)
 
-    if as_t(cfg.adve_scheme) == as_t.implicit:
-        dCx = C_r - C_l
-        x = (x + dx * (C_l - i_row * dCx)) / (1.0 - dCx)
-        dCz = C_a - C_b
-        z = (z + dz * (C_b - k_row * dCz)) / (1.0 - dCz)
-    else:  # euler
-        dCx = C_r - C_l
-        x = x + dCx * (x - dx * i_row) + dx * C_l
-        dCz = C_a - C_b
-        z = z + dCz * (z - dz * k_row) + dz * C_b
+    if do_adve:
+        C_l = cl_ref[:]
+        C_r = cr_ref[:]
+        C_b = cb_ref[:]
+        C_a = ca_ref[:]
+        if as_t(cfg.adve_scheme) == as_t.implicit:
+            dCx = C_r - C_l
+            x = (x + dx * (C_l - i_row * dCx)) / (1.0 - dCx)
+            dCz = C_a - C_b
+            z = (z + dz * (C_b - k_row * dCz)) / (1.0 - dCz)
+        else:  # euler
+            dCx = C_r - C_l
+            x = x + dCx * (x - dx * i_row) + dx * C_l
+            dCz = C_a - C_b
+            z = z + dCz * (z - dz * k_row) + dz * C_b
 
     if do_sedi:
         z = z - jnp.float32(dt) * vt
     if do_subs:
         z = z - jnp.float32(dt) * wls_ref[:]
 
-    x0 = jnp.float32(cfg.x0)
-    x1 = jnp.float32(cfg.x1)
-    z0 = jnp.float32(cfg.z0)
-    z1 = jnp.float32(cfg.z1)
     liq_vol = dry_vol = liq_num = prt_num = jnp.float32(0.0)
-    if not cfg.open_side_walls:
-        q = x - x0
-        w = x1 - x0
-        x = x0 + (q - jnp.floor(q / w) * w)
-    else:
-        n = jnp.where((x >= x1) | (x < x0), 0.0, n)
-    if cfg.periodic_topbot_walls:
-        q = z - z0
-        w = z1 - z0
-        z = z0 + (q - jnp.floor(q / w) * w)
-    else:
-        n = jnp.where(z >= z1, 0.0, n)
-        fell = (z < z0) & (n > 0)
-        nf = jnp.where(fell, n, 0.0)
-        vol_c = jnp.float32(4.0 / 3 * c.pi)
-        liq_vol = jnp.sum(vol_c * nf * rw2 * jnp.sqrt(jnp.maximum(rw2, 0.0)))
-        dry_vol = jnp.sum(vol_c * nf * rd3)
-        liq_num = jnp.sum(jnp.where(rw2 > 0, nf, 0.0))
-        prt_num = jnp.sum(nf)
-        n = jnp.where(fell, 0.0, n)
+    if do_transport:
+        x0 = jnp.float32(cfg.x0)
+        x1 = jnp.float32(cfg.x1)
+        z0 = jnp.float32(cfg.z0)
+        z1 = jnp.float32(cfg.z1)
+        if not cfg.open_side_walls:
+            q = x - x0
+            w = x1 - x0
+            x = x0 + (q - jnp.floor(q / w) * w)
+        else:
+            n = jnp.where((x >= x1) | (x < x0), 0.0, n)
+        if cfg.periodic_topbot_walls:
+            q = z - z0
+            w = z1 - z0
+            z = z0 + (q - jnp.floor(q / w) * w)
+        else:
+            n = jnp.where(z >= z1, 0.0, n)
+            fell = (z < z0) & (n > 0)
+            nf = jnp.where(fell, n, 0.0)
+            vol_c = jnp.float32(4.0 / 3 * c.pi)
+            liq_vol = jnp.sum(
+                vol_c * nf * rw2 * jnp.sqrt(jnp.maximum(rw2, 0.0)))
+            dry_vol = jnp.sum(vol_c * nf * rd3)
+            liq_num = jnp.sum(jnp.where(rw2 > 0, nf, 0.0))
+            prt_num = jnp.sum(nf)
+            n = jnp.where(fell, 0.0, n)
 
     # ---------------- in-kernel re-binning: z phase ----------------------
     # (the post_copy hskpng_ijk equivalent, post_copy.ipp:18-36, done as
@@ -413,17 +426,26 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "sstp_cond", "sstp_coal", "dt", "RH_max",
-                     "do_coal", "do_sedi", "do_subs", "block_rows",
-                     "do_rebin", "interpret"),
+                     "do_coal", "do_sedi", "do_subs", "do_cond", "do_adve",
+                     "block_rows", "do_rebin", "interpret"),
 )
 def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
                   do_subs, seed, params,
                   n, rw2, rd3, kpa, x, z,
                   thadv, rvadv, th0, rv0, rhod, dv, lam_D, lam_K,
                   C_l, C_r, C_b, C_a, w_LS_cells, xkey=None,
-                  *, block_rows=128, do_rebin=False, interpret=False):
+                  *, do_cond=True, do_adve=True, block_rows=128,
+                  do_rebin=False, interpret=False):
     """One full microphysics step (cond + coal + transport) as a single
     Pallas kernel over row blocks.
+
+    The phase flags carve out the public 3-phase API's split dispatch
+    (lgrngn/dense_front): ``do_cond=True, do_adve=do_sedi=do_subs=
+    do_coal=False`` is the step_cond half (th0/rv0 = pre-sync values,
+    thadv/rvadv = freshly advected fields); ``do_cond=False`` with the
+    transport toggles is the step_async half (th0/rv0 = the POST-cond
+    cell values; thadv/rvadv unused).  Default flags = the fused
+    whole-step kernel of the device-resident model loop.
 
     With ``do_rebin`` the kernel also resolves the z axis of the
     post-transport re-binning in VMEM and classifies SDs for the x pass
@@ -441,6 +463,13 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
     where puddle lanes 4/5 carry the far-mover flag and re-bin drops."""
     n_cell, cap = n.shape
     do_xmerge = xkey is not None
+    if do_xmerge and not do_rebin:
+        # without do_rebin the block-divisibility check below is skipped
+        # and pad rows zero-fill, making padded xkey lanes read as
+        # 0.0 == left-mover — which would corrupt the prologue merge
+        raise ValueError("step_resident: xkey requires do_rebin")
+    if do_rebin and not (do_adve or do_sedi or do_subs):
+        raise ValueError("step_resident: do_rebin without any transport")
     if cap & (cap - 1):
         # the in-kernel bitonic network silently MIS-SORTS at widths that
         # are not powers of two — refuse loudly (callers gate via
@@ -521,8 +550,8 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
     cell_shape = jax.ShapeDtypeStruct((nblk * block_rows, 1), jnp.float32)
     outs = pl.pallas_call(
         functools.partial(_kernel, cfg, sstp_cond, sstp_coal, dt, RH_max,
-                          do_coal, do_sedi, do_subs, block_rows, do_rebin,
-                          do_xmerge),
+                          do_cond, do_coal, do_adve, do_sedi, do_subs,
+                          block_rows, do_rebin, do_xmerge),
         grid=(nblk,),
         out_shape=tuple([sd_shape] * 8 + [cell_shape] * 6
                         + [jax.ShapeDtypeStruct((nblk, 8, 128),

@@ -283,3 +283,83 @@ def test_dense_public_3d(do_coal, scheme):
         np.testing.assert_allclose(m3_d.sum(), m3_f.sum(), rtol=1e-2)
     # y advection really moved SDs off the injection values
     assert np.unique(np.round(y_d, 6)).size > N
+
+
+@pytest.mark.parametrize("do_coal", [False, True])
+def test_dense_public_resident_kernel(do_coal):
+    """Round 5: the resident Pallas kernel behind the PUBLIC 3-phase API
+    (dense_front splits ops/pallas_step.step_resident into a cond half in
+    step_cond and a coal+transport half in step_async).  On CPU the kernel
+    runs through the Mosaic interpreter at f32 (LIBCLOUD_RESIDENT=interpret
+    + LIBCLOUD_DENSE_F32=1); the reference is the XLA dense pipeline at the
+    same f32 precision (LIBCLOUD_RESIDENT=0) — cond/transport agree to the
+    root-find's last f32 ulp, coalescence realisations are IDENTICAL (in
+    interpreter mode the kernel routes coal through the same XLA path with
+    the same key stream)."""
+    NXK, NZK = 8, 8  # nz % 8 == 0 so the in-kernel re-binning engages
+
+    def run(resident):
+        os.environ["LIBCLOUD_ENGINE"] = "dense"
+        os.environ["LIBCLOUD_DENSE_F32"] = "1"
+        os.environ["LIBCLOUD_RESIDENT"] = "interpret" if resident else "0"
+        try:
+            oi = lgrngn.opts_init_t()
+            oi.dry_distros = {(0.61, 0.0): lognormal}
+            oi.coal_switch = do_coal
+            if do_coal:
+                oi.kernel = lgrngn.kernel_t.geometric
+            oi.terminal_velocity = lgrngn.vt_t.beard77
+            oi.sedi_switch = True
+            oi.dt = 1
+            oi.nx, oi.nz = NXK, NZK
+            oi.dx = oi.dz = 100.0
+            oi.x1, oi.z1 = NXK * 100.0, NZK * 100.0
+            oi.sd_conc = 24
+            oi.n_sd_max = 24 * NXK * NZK
+            oi.sstp_cond = 3
+            oi.sstp_coal = 2
+            opts = lgrngn.opts_t()
+            opts.adve = opts.cond = opts.sedi = True
+            opts.coal = do_coal
+            opts.chem_dsl = False
+            rhod = np.ones((NXK, NZK))
+            th = 289.0 * np.ones((NXK, NZK))
+            rv = 7.5e-3 * np.ones((NXK, NZK))
+            Cx = 0.2 * np.ones((NXK + 1, NZK))
+            Cz = -0.1 * np.ones((NXK, NZK + 1))
+            p = lgrngn.factory(lgrngn.backend_t.serial, oi)
+            p.init(th, rv, rhod, Cx=Cx, Cz=Cz)
+            for _ in range(4):
+                p.step_sync(opts, th, rv, rhod)
+                p.step_async(opts)
+            p.diag_all(); p.diag_sd_conc(); sd = p.outbuf().copy()
+            p.diag_all(); p.diag_wet_mom(0); m0 = p.outbuf().copy()
+            p.diag_all(); p.diag_wet_mom(3); m3 = p.outbuf().copy()
+            n = p.get_attr("n")
+            return dict(th=th, rv=rv, sd=sd, m0=m0, m3=m3,
+                        tot=n[n > 0].sum(), puddle=p.diag_puddle())
+        finally:
+            os.environ.pop("LIBCLOUD_ENGINE", None)
+            os.environ.pop("LIBCLOUD_DENSE_F32", None)
+            os.environ.pop("LIBCLOUD_RESIDENT", None)
+
+    r = run(True)
+    x = run(False)
+    # f32 ulp tolerances: the root find reassociates between the Mosaic
+    # interpreter and compiled XLA; lane order inside rows differs between
+    # the in-kernel re-binning and the XLA neighbour re-bin, so row
+    # reductions (moments) reassociate too
+    np.testing.assert_allclose(r["th"], x["th"], rtol=2e-6)
+    np.testing.assert_allclose(r["rv"], x["rv"], rtol=2e-5)
+    np.testing.assert_array_equal(r["sd"], x["sd"])
+    if not do_coal:
+        assert r["tot"] == pytest.approx(x["tot"], rel=0)
+        np.testing.assert_allclose(r["m0"], x["m0"], rtol=1e-5)
+        np.testing.assert_allclose(r["m3"], x["m3"], rtol=1e-4)
+    else:
+        # coal pairing keys are SLOT-indexed: the two re-binnings leave
+        # different lane orders, so realisations differ statistically
+        assert r["tot"] == pytest.approx(x["tot"], rel=1e-6)
+        np.testing.assert_allclose(r["m3"].sum(), x["m3"].sum(), rtol=1e-4)
+    for k, v in x["puddle"].items():
+        assert r["puddle"][k] == pytest.approx(v, rel=1e-4, abs=1e-300)
