@@ -90,9 +90,9 @@ def water_dry_totals(model):
     liq = float(
         (4.0 / 3) * np.pi * c.rho_w * (n[alive] * rw2[alive] ** 1.5).sum())
     pud = p.diag_puddle()
-    liq += c.rho_w * pud["liq_vol"]
+    liq += c.rho_w * pud["liquid_volume"]
     dry = float((n[alive] * rd3[alive]).sum()) \
-        + pud["dry_vol"] / ((4.0 / 3) * np.pi)
+        + pud["dry_volume"] / ((4.0 / 3) * np.pi)
     return vap + liq, dry
 
 
@@ -167,6 +167,28 @@ def main():
 
     sd_updates_per_s = n_sd * N_STEPS / elapsed
     grid_points_per_s = NX * NZ * N_STEPS / elapsed
+
+    # the same workload through the PUBLIC 3-phase API with the
+    # device-array ABI (tools/bench_public.py drives it; the resident
+    # kernel runs behind step_cond/step_async) — recorded so the headline
+    # is demonstrably the library's speed, not the demo driver's
+    public_ms = None
+    if engine == "dense":
+        try:
+            sys.path.insert(0, os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "tools"))
+            import bench_public as bp
+            t0 = time.perf_counter()
+            bp.run_public(model, 20)
+            public_warm = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            bp.run_public(model, N_STEPS)
+            public_ms = (time.perf_counter() - t0) / N_STEPS * 1e3
+            print(f"# public-API path: {public_ms:.2f} ms/step",
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"# public-API probe failed ({type(e).__name__}: {e})",
+                  file=sys.stderr, flush=True)
     print(f"# engine={engine}: {elapsed/N_STEPS*1e3:.2f} ms/step; "
           f"grid-points/s: {grid_points_per_s:.3e}",
           file=sys.stderr, flush=True)
@@ -191,6 +213,8 @@ def main():
         "vs_baseline": round(vs_baseline, 3),
         "checks": "ok" if checks is not None else "skipped",
         **(checks or {}),
+        **({"public_api_ms_per_step": round(public_ms, 2)}
+           if public_ms else {}),
     }))
 
 

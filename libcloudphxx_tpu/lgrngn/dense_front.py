@@ -106,8 +106,23 @@ class particles_dense_t(particles_t):
                     f"capacity {self._cap}")
             self._loc = "dense"
 
+    def _check_overflow(self):
+        """Deferred row-overflow gate: reading the device counter forces a
+        host sync (~50 ms through a remote-TPU tunnel), so the hot stepping
+        loop accumulates it on-device and this check runs at every
+        flat-sync point (diag surface, save, get_attr) instead of once per
+        step.  Overflow still never passes silently — it raises at the
+        next point the caller observes the population."""
+        if self._d is not None and self._loc == "dense":
+            dropped = float(self._d.overflow)
+            if dropped:
+                raise RuntimeError(
+                    f"lgrngn dense engine: {dropped:.0f} SDs dropped on row "
+                    f"overflow (capacity {self._cap}) — raise n_sd_max/cap")
+
     def _ensure_flat(self):
         if self._loc == "dense":
+            self._check_overflow()
             self.state = jax.jit(dense.unpack, static_argnums=0)(
                 self.cfg, self._d, self.state)
             self._loc = "flat"
@@ -140,14 +155,21 @@ class particles_dense_t(particles_t):
 
     # ------------------------------------------------------ sync tracking
     def sync_in(self, th=None, rv=None, rhod=None, **kwargs):
-        if rhod is not None:
-            r = np.asarray(rhod, dtype=np.float64).reshape(-1)
-            self._rhod_changed = (self._last_rhod_host is None
-                                  or not np.array_equal(
-                                      r, self._last_rhod_host))
-            self._last_rhod_host = r.copy()
-        else:
+        if rhod is None:
             self._rhod_changed = False
+        elif isinstance(rhod, jax.Array):
+            # device-array ABI: comparing values would force a host round
+            # trip per step; the SAME handle means the SAME values
+            # (jax arrays are immutable), anything else counts as changed
+            self._rhod_changed = rhod is not self._last_rhod_host
+            self._last_rhod_host = rhod
+        else:
+            r = np.asarray(rhod, dtype=np.float64).reshape(-1)
+            prev = self._last_rhod_host
+            self._rhod_changed = (
+                prev is None or isinstance(prev, jax.Array)
+                or not np.array_equal(r, prev))
+            self._last_rhod_host = r.copy()
         super().sync_in(th=th, rv=rv, rhod=rhod, **kwargs)
 
     # --------------------------------------------------------- step hooks
@@ -210,11 +232,9 @@ class particles_dense_t(particles_t):
                 sstp_coal=int(sstp), do_coal=bool(do_coal),
                 do_sedi=bool(do_sedi), do_adve=bool(do_adve),
                 do_subs=bool(do_subs), w_LS=w_LS.astype(self._d.n.dtype))
-        dropped = float(d.overflow)
-        if dropped:
-            raise RuntimeError(
-                f"lgrngn dense engine: {dropped:.0f} SDs dropped on row "
-                f"overflow (capacity {self._cap}) — raise n_sd_max/cap")
         self._d = d
         self._dense_stepped = True
+        # overflow gate deferred to the next flat-sync point
+        # (_check_overflow) — reading it here would force one host round
+        # trip per step
         return dataclasses.replace(state, puddle=d.puddle, key=d.key)

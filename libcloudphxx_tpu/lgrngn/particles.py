@@ -32,6 +32,18 @@ from .state import PUDDLE_KEYS, State, StaticConfig, empty_state
 def _as_flat(arr, n_cell, name):
     if arr is None:
         return None
+    if isinstance(arr, jax.Array):
+        # device-array ABI (the TPU-native arrinfo_t analog,
+        # arrinfo.hpp:10-49): a jax.Array is an immutable device handle, so
+        # no defensive copy is needed and no host round trip happens — the
+        # caller gets updated values from step_cond's return instead of an
+        # in-place write-back
+        a = arr.reshape(-1)
+        if a.size != n_cell:
+            raise ValueError(
+                f"lgrngn: {name} has {a.size} elements, expected {n_cell}"
+            )
+        return a
     # always COPY: jnp.asarray on CPU zero-copies numpy buffers, which would
     # alias device state to the caller's arrays — the reference's sync is a
     # copy (particles_impl_sync.ipp:15-69), and callers routinely mutate
@@ -454,7 +466,11 @@ class particles_t:
 
     def step_cond(self, opts: opts_t, th=None, rv=None, ambient_chem=None):
         """(reference particles_step.ipp:161-336).  Writes the updated th/rv
-        back into the passed numpy arrays (sync-out)."""
+        back into the passed numpy arrays (sync-out).  Device-array callers
+        (th/rv passed as jax.Array — the TPU arrinfo analog) get the
+        updated fields as a returned (th, rv) pair instead: jax arrays are
+        immutable handles, and skipping the host write-back keeps the whole
+        step asynchronous (no device round trip per step)."""
         if not self._should_now_run_cond:
             raise RuntimeError(
                 "libcloudphxx: please call sync_in() before calling step_cond()"
@@ -471,6 +487,7 @@ class particles_t:
             raise RuntimeError(
                 "libcloudphxx: turb_cond_switch=False, but turb_cond==True"
             )
+        device_io = isinstance(th, jax.Array) or isinstance(rv, jax.Array)
         if opts.cond or (opts.ice_nucl and self.cfg.ice_switch):
             self.state = self._step_cond_impl(
                 self.state, dt, float(opts.RH_max),
@@ -480,12 +497,13 @@ class particles_t:
                 bool(getattr(self, "_var_rho", False)),
             )
             # sync out
-            if th is not None:
-                np.asarray(th).reshape(-1)[:] = self._cell_to_host(
-                    self.state.th)
-            if rv is not None:
-                np.asarray(rv).reshape(-1)[:] = self._cell_to_host(
-                    self.state.rv)
+            if not device_io:
+                if th is not None:
+                    np.asarray(th).reshape(-1)[:] = self._cell_to_host(
+                        self.state.th)
+                if rv is not None:
+                    np.asarray(rv).reshape(-1)[:] = self._cell_to_host(
+                        self.state.rv)
         # chemistry substeps (particles_step.ipp:272-310)
         do_chem = (opts.chem_dsl or opts.chem_dsc or opts.chem_rct)
         if do_chem:
@@ -505,15 +523,19 @@ class particles_t:
         if _dbg.enabled():
             _dbg.nancheck_state(self.state, "step_cond")
         self._should_now_run_async = True
+        if device_io:
+            return self.state.th, self.state.rv
 
     def step_sync(self, opts: opts_t, th, rv, rhod=None, courant_x=None,
                   courant_y=None, courant_z=None, ambient_chem=None,
                   diss_rate=None):
-        """step_sync = sync_in + step_cond (reference particles_step.ipp:15-29)."""
+        """step_sync = sync_in + step_cond (reference particles_step.ipp:15-29).
+        Returns the updated (th, rv) device pair for device-array callers
+        (see step_cond), None for the reference's numpy write-back ABI."""
         self.sync_in(th=th, rv=rv, rhod=rhod, courant_x=courant_x,
                      courant_y=courant_y, courant_z=courant_z,
                      ambient_chem=ambient_chem, diss_rate=diss_rate)
-        self.step_cond(opts, th=th, rv=rv, ambient_chem=ambient_chem)
+        return self.step_cond(opts, th=th, rv=rv, ambient_chem=ambient_chem)
 
     def step_async(self, opts: opts_t):
         """Transport phase (reference particles_step.ipp:339-494).
@@ -561,18 +583,23 @@ class particles_t:
         if opts.dt > 0 and sstp > 1:
             sstp = math.ceil(sstp * dt / self.cfg.dt)
         sstp += self._sstp_coal_extra
-        params = jnp.asarray(
-            np.asarray(self.opts_init.kernel_parameters, dtype=np.float64)
-        )
-        w_LS = jnp.asarray(
-            np.asarray(self.opts_init.w_LS, dtype=np.float64)
-            if len(self.opts_init.w_LS) else np.zeros(max(1, self.cfg.nz))
-        )
-        sgs_mix_len = jnp.asarray(
-            np.asarray(self.opts_init.SGS_mix_len, dtype=np.float64)
-            if len(self.opts_init.SGS_mix_len)
-            else np.full(max(1, self.cfg.nz), self.cfg.dz)
-        )
+        # constant device arrays (opts_init is fixed after construction) —
+        # cached so the hot loop does not pay one host->device transfer per
+        # step per array
+        if not hasattr(self, "_async_consts"):
+            self._async_consts = (
+                jnp.asarray(np.asarray(self.opts_init.kernel_parameters,
+                                       dtype=np.float64)),
+                jnp.asarray(
+                    np.asarray(self.opts_init.w_LS, dtype=np.float64)
+                    if len(self.opts_init.w_LS)
+                    else np.zeros(max(1, self.cfg.nz))),
+                jnp.asarray(
+                    np.asarray(self.opts_init.SGS_mix_len, dtype=np.float64)
+                    if len(self.opts_init.SGS_mix_len)
+                    else np.full(max(1, self.cfg.nz), self.cfg.dz)),
+            )
+        params, w_LS, sgs_mix_len = self._async_consts
         # aerosol source every supstp_src steps (particles_step.ipp:451-479)
         if opts.src and (opts.src_dry_distros or opts.src_dry_sizes):
             self._src_ctr += 1

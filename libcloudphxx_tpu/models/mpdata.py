@@ -238,10 +238,12 @@ def advect(psi, gc_x, gc_z, G, n_iters=2, fct=False):
     return _advect_body(psi, gc_x, gc_z, G, n_iters, fct)
 
 
+@partial(jax.jit, static_argnames=("n_iters", "fct"))
 def advect2(psi_a, psi_b, gc_x, gc_z, G, n_iters=2, fct=False):
     """Advect TWO scalars sharing the same courants in one dispatch (th and
     rv of the kinematic step) — same math as two advect() calls, but the
-    TPU pays the per-kernel floor once."""
+    TPU pays the per-kernel floor once.  Jitted at top level: host-loop
+    callers (the public-API driver) must not pay a re-trace per step."""
     G = jnp.broadcast_to(jnp.asarray(G, psi_a.dtype), psi_a.shape)
     if _pallas_ok(psi_a) and psi_b.dtype == psi_a.dtype:
         from jax.experimental import pallas as pl

@@ -36,13 +36,33 @@ def make_model():
 
 
 def run_public(model, n_steps):
+    """Drive the PUBLIC 3-phase contract with the device-array ABI (the
+    TPU-native arrinfo_t analog): th/rv stay jax.Array handles, step_sync
+    returns the updated pair, and nothing round-trips to the host inside
+    the loop."""
+    import jax.numpy as jnp
+    from libcloudphxx_tpu.models import mpdata
+    p = model.prtcls
+    opts = model.opts
+    opts.adve = opts.cond = opts.sedi = opts.coal = True
+    opts.RH_max = 44.0
+    nx, nz = model.nx, model.nz
+    th = jnp.asarray(model.th)
+    rv = jnp.asarray(model.rv)
     for _ in range(n_steps):
-        model.advect_scalars()
-        model.micro_step(spinup=False)
-    # force all pending device work before timing stops
-    jax.block_until_ready(model.prtcls._d.n
-                          if getattr(model.prtcls, "_loc", "") == "dense"
-                          else model.prtcls.state.th)
+        th, rv = mpdata.advect2(th, rv, model.gc_x, model.gc_z, model.G,
+                                n_iters=model.mpdata_iters, fct=model.fct)
+        th, rv = p.step_sync(opts, th, rv)
+        th = th.reshape(nx, nz)
+        rv = rv.reshape(nx, nz)
+        p.step_async(opts)
+    jax.block_until_ready((th, rv))
+    if getattr(p, "_loc", "") == "dense":
+        jax.block_until_ready(p._d.n)   # the last step_async
+    else:
+        jax.block_until_ready(p.state.n)
+    model.th = np.asarray(th)
+    model.rv = np.asarray(rv)
 
 
 def main():
