@@ -679,10 +679,20 @@ class Kinematic2D:
             cap = 1 << (cap - 1).bit_length()
         return cap
 
-    def run_device_lgrngn(self, nt, spinup=0, engine="flat"):
+    def run_device_lgrngn(self, nt, spinup=0, engine="flat",
+                          repack_every=0, repack_margin=1.25):
         """Device-resident lgrngn run: lax.scan over fused model steps; host
         sees th/rv only at the end.  engine="dense" runs the cell-major
-        occupancy-matrix backend (lgrngn/dense.py)."""
+        occupancy-matrix backend (lgrngn/dense.py).
+
+        ``repack_every`` > 0 enables the occupancy-aware repack policy for
+        long dense runs: every that many steps the max row occupancy is
+        read (one host sync) and the population redistributes to the
+        smallest admissible capacity >= repack_margin * occupancy —
+        growing BEFORE rows overflow as rain concentrates SDs, and
+        shrinking back so per-lane costs track the real population instead
+        of the historical peak (the r4 bench protocol sidestepped this by
+        re-packing the from-init state; sustained runs cannot)."""
         if self.relax_th_rv:
             raise NotImplementedError(
                 "relax_th_rv is only supported in the stepwise run() path")
@@ -713,10 +723,38 @@ class Kinematic2D:
             carry = (d, jnp.asarray(self.th), jnp.asarray(self.rv))
         else:
             carry = (p.state, jnp.asarray(self.th), jnp.asarray(self.rv))
-        for n, sp in ((min(spinup, nt), True), (max(0, nt - spinup), False)):
-            if n == 0:
-                continue
-            carry = self._lgrngn_runner(sp, n, engine)(carry)
+
+        def admissible_cap(occ):
+            """Smallest capacity the engine accepts for this occupancy:
+            margin applied, 8-lane aligned, power of two when the resident
+            kernel will run (its bitonic network needs it)."""
+            want = max(8, int(-(-int(occ * repack_margin) // 8) * 8))
+            if _os.environ.get("LIBCLOUD_RESIDENT", "auto") != "0" \
+                    and jax.default_backend() == "tpu":
+                want = 1 << (want - 1).bit_length()
+            return want
+
+        repack_jit = None
+        if engine == "dense" and repack_every:
+            repack_jit = jax.jit(dense_mod.repack, static_argnums=(0, 2))
+            occ_jit = jax.jit(
+                lambda n: jnp.max(jnp.sum(jnp.where(n > 0, 1, 0), axis=1)))
+        phases = [(min(spinup, nt), True), (max(0, nt - spinup), False)]
+        for n, sp in phases:
+            done = 0
+            while done < n:
+                k = n - done if not repack_jit else min(repack_every,
+                                                        n - done)
+                carry = self._lgrngn_runner(sp, k, engine)(carry)
+                done += k
+                steps_ahead = (n - done) + (nt - spinup if sp else 0)
+                if repack_jit is not None and steps_ahead > 0:
+                    d0 = carry[0]
+                    occ = int(occ_jit(d0.n))
+                    new_cap = admissible_cap(occ)
+                    if new_cap != d0.cap:
+                        d0 = repack_jit(p.cfg, d0, new_cap)
+                        carry = (d0,) + carry[1:]
         state, th, rv = carry
         if engine == "dense":
             if state.xkey.size:

@@ -240,6 +240,36 @@ def test_rebin_fallback_on_long_jump():
     np.testing.assert_array_equal(rows[alive], want[alive])
 
 
+def test_repack_roundtrip_grow_and_shrink():
+    """Occupancy-aware repack (the sustained-run capacity policy,
+    run_device_lgrngn repack_every) preserves the alive population
+    exactly through a grow and a shrink, and counts overflow loudly when
+    the target capacity cannot hold a row."""
+    m = _model(nx=10, nz=10, sd_conc=16)
+    p = m.prtcls
+    cfg = p.cfg
+    cap = m.dense_capacity()
+    d = dense_mod.pack(cfg, p.state, cap)
+    ref = _dense_multiset(d, cfg, "rw2", "rd3", "kpa", "x", "z")
+
+    up = dense_mod.repack(cfg, d, cap * 2)
+    assert up.cap == cap * 2 and float(up.overflow) == 0.0
+    np.testing.assert_array_equal(
+        ref, _dense_multiset(up, cfg, "rw2", "rd3", "kpa", "x", "z"))
+
+    occ = int(np.max(np.sum(np.asarray(d.n) > 0, axis=1)))
+    tight = max(8, -(-occ // 8) * 8)
+    down = dense_mod.repack(cfg, up, tight)
+    assert down.cap == tight and float(down.overflow) == 0.0
+    np.testing.assert_array_equal(
+        ref, _dense_multiset(down, cfg, "rw2", "rd3", "kpa", "x", "z"))
+
+    # a capacity below the densest row must overflow (and say so)
+    if occ > 8:
+        lossy = dense_mod.repack(cfg, up, 8)
+        assert float(lossy.overflow) > 0.0
+
+
 @pytest.mark.parametrize("mix", [True, False])
 def test_cond_exact_matches_flat_engine(mix):
     """Exact (per-particle) substepping on the dense layout vs the flat
