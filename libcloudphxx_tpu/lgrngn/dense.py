@@ -511,7 +511,8 @@ def _rshift_mask(m):
 
 def pair_and_collide(cfg: StaticConfig, params, sorted_vals, count,
                      dv_row, rhod_row, eta_row, dt, u01,
-                     eff_table=None, r_max_um=0.0, cbrt_fn=jnp.cbrt):
+                     eff_table=None, r_max_um=0.0, cbrt_fn=jnp.cbrt,
+                     eff_fn=None):
     """Post-shuffle pairing + Shima collision math on row-sorted SD blocks
     (reference particles_impl_coal.ipp:98-546 after the shuffle-sort).
 
@@ -540,7 +541,7 @@ def pair_and_collide(cfg: StaticConfig, params, sorted_vals, count,
     K = coal_mod.kernel_value(
         cfg, params, n_a, n_b, rw2_a, rw2_b, vt_a, vt_b, rd3_a, rd3_b,
         eff_table=eff_table, r_max_um=r_max_um,
-        rhod=rhod_row, eta=eta_row, diss_rate=0.0,
+        rhod=rhod_row, eta=eta_row, diss_rate=0.0, eff_fn=eff_fn,
     )
     prob = dt / dv_row * scale * K
     prob = jnp.where(is_pair, prob, 0.0)
@@ -999,8 +1000,9 @@ def rebin(cfg: StaticConfig, d: DenseState) -> DenseState:
 def resident_ok(cfg: StaticConfig, d: DenseState):
     """Can the whole microphysics step run as ONE Pallas kernel
     (ops/pallas_step.step_resident)?  Covers the formula-based collision
-    kernels and terminal velocities at f32 on TPU; table-kernel,
-    const-multi and f64-parity configs stay on the XLA path."""
+    kernels, the hall-family tabulated kernels (in-VMEM efficiency
+    lookup) and the terminal-velocity formulas at f32 on TPU; vohl/
+    onishi, const-multi and f64-parity configs stay on the XLA path."""
     import os
     # LIBCLOUD_RESIDENT=0 forces the XLA dense pipeline for A/B.  The
     # check runs at TRACE time (inside the jitted step), so a re-pack at a
@@ -1012,9 +1014,18 @@ def resident_ok(cfg: StaticConfig, d: DenseState):
     cap = d.n.shape[1]
     if cap & (cap - 1):
         return False
-    if kernel_t(cfg.kernel) not in (kernel_t.golovin, kernel_t.geometric,
-                                    kernel_t.long):
-        return False
+    kern = kernel_t(cfg.kernel)
+    if kern not in (kernel_t.golovin, kernel_t.geometric, kernel_t.long):
+        # tabulated-efficiency kernels run in-kernel when the table clamps
+        # into one 128x128 VMEM block (the hall family — reference
+        # kernels.hpp:179-207; vohl saturates at index 150 and stays on
+        # the XLA path).  The onishi turbulent kernels also need the Wang
+        # enhancement + dissipation-rate plumbing — XLA path.
+        if kern in (kernel_t.onishi_hall,
+                    kernel_t.onishi_hall_davis_no_waals):
+            return False
+        if coal_mod.clamped_efficiency_table(kern) is None:
+            return False
     if cfg.pure_const_multi:
         return False
     if d.n.dtype != jnp.float32:
@@ -1202,6 +1213,13 @@ def _resident_phases_impl(cfg, d, th_adv, rv_adv, params, dt, RH_max,
         w_cells = jnp.zeros_like(d.rhod)
 
     deferred = kernel_rebin and d.xkey.size > 0
+    eff_kw = {}
+    if do_coal:
+        ct = coal_mod.clamped_efficiency_table(kernel_t(cfg.kernel))
+        if ct is not None:
+            t128, r_max, clamp = ct
+            eff_kw = dict(eff_table=jnp.asarray(t128),
+                          r_max_um=float(r_max), eff_clamp=int(clamp))
     (n, rw2, rd3, kpa, vt, x, z, xkey, th, rv, T, p, RH, eta,
      pud) = step_resident(
         cfg, int(cfg.sstp_cond), int(sstp_coal), float(dt), float(RH_max),
@@ -1211,7 +1229,7 @@ def _resident_phases_impl(cfg, d, th_adv, rv_adv, params, dt, RH_max,
         lam_D, lam_K, C_l, C_r, C_b, C_a, w_cells,
         d.xkey if deferred else None,
         do_cond=bool(do_cond), do_adve=bool(do_adve),
-        block_rows=block_rows, do_rebin=kernel_rebin)
+        block_rows=block_rows, do_rebin=kernel_rebin, **eff_kw)
 
     if not do_transport:
         # cond-only phase: positions/vt untouched (the kernel passes them

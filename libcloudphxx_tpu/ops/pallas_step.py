@@ -109,9 +109,15 @@ def _xmerge_values(nz, q, keys_lcr, planes_lcr):
 
 def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
             do_adve, do_sedi, do_subs, block_rows, do_rebin, do_xmerge,
-            *refs):
+            r_max_um, eff_clamp, *refs):
     seed_ref, params_ref = refs[0], refs[1]
     pos = 2
+    eff_ref = None
+    if eff_clamp:
+        # tabulated collision efficiencies as one whole-table VMEM block
+        # (clamped_efficiency_table), shared by every grid step
+        eff_ref = refs[pos]
+        pos += 1
     if do_xmerge:
         win = refs[pos:pos + 21]
         pos += 21
@@ -214,6 +220,13 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
     # ---------------- coalescence substep loop ---------------------------
     if do_coal:
         dt_sub = dt / sstp_coal
+        if eff_ref is not None:
+            from ..lgrngn.coalescence import interpolated_efficiency_sweep
+            eff_tbl = eff_ref[:]
+            eff_fn = functools.partial(interpolated_efficiency_sweep,
+                                       eff_clamp)
+        else:
+            eff_tbl, eff_fn = None, None
 
         # Ride-thin shuffle: x and z are not read by the pairing math, so
         # a lane-id plane rides the per-substep sorts in their place and
@@ -235,6 +248,7 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
             n, rw2, rd3, kpa, _o = pair_and_collide(
                 cfg, params, (n, rw2, rd3, kpa, vt), count,
                 dv, rhod, eta, dt_sub, u01,
+                eff_table=eff_tbl, r_max_um=r_max_um, eff_fn=eff_fn,
                 cbrt_fn=lambda v: cbrt_pos(jnp.maximum(v, 1e-38)))
             return (n, rw2, rd3, kpa, idp)
 
@@ -427,15 +441,17 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
     jax.jit,
     static_argnames=("cfg", "sstp_cond", "sstp_coal", "dt", "RH_max",
                      "do_coal", "do_sedi", "do_subs", "do_cond", "do_adve",
-                     "block_rows", "do_rebin", "interpret"),
+                     "block_rows", "do_rebin", "interpret", "r_max_um",
+                     "eff_clamp"),
 )
 def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
                   do_subs, seed, params,
                   n, rw2, rd3, kpa, x, z,
                   thadv, rvadv, th0, rv0, rhod, dv, lam_D, lam_K,
-                  C_l, C_r, C_b, C_a, w_LS_cells, xkey=None,
+                  C_l, C_r, C_b, C_a, w_LS_cells, xkey=None, eff_table=None,
                   *, do_cond=True, do_adve=True, block_rows=128,
-                  do_rebin=False, interpret=False):
+                  do_rebin=False, interpret=False, r_max_um=0.0,
+                  eff_clamp=0):
     """One full microphysics step (cond + coal + transport) as a single
     Pallas kernel over row blocks.
 
@@ -463,6 +479,12 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
     where puddle lanes 4/5 carry the far-mover flag and re-bin drops."""
     n_cell, cap = n.shape
     do_xmerge = xkey is not None
+    if (eff_table is not None) != (eff_clamp > 0):
+        raise ValueError("step_resident: eff_table and eff_clamp must be "
+                         "passed together (clamped_efficiency_table)")
+    if eff_table is not None and eff_table.shape != (128, 128):
+        raise ValueError("step_resident: eff_table must be the (128, 128) "
+                         "clamped block")
     if do_xmerge and not do_rebin:
         # without do_rebin the block-divisibility check below is skipped
         # and pad rows zero-fill, making padded xkey lanes read as
@@ -522,6 +544,16 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
                          memory_space=pltpu.VMEM)
     scal = pl.BlockSpec(memory_space=pltpu.SMEM)
 
+    # the efficiency table (when present) sits between params and the SD
+    # planes: one whole-table block every grid step reads
+    n_eff = 1 if eff_table is not None else 0
+    eff_args = ()
+    eff_specs = []
+    if n_eff:
+        eff_args = (jnp.asarray(eff_table, jnp.float32),)
+        eff_specs = [pl.BlockSpec((128, 128), lambda i: (0, 0),
+                                  memory_space=pltpu.VMEM)]
+
     if do_xmerge:
         # each of the 7 SD arrays (6 planes + xkey) is read three times
         # through left/centre/right index maps; in-place aliasing would
@@ -544,23 +576,25 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
         # alias the six mutated SD planes in place (n,rw2,rd3,kpa,x,z ->
         # outputs 0-3, 5, 6); the round-3 convention that removes all
         # layout copies around the call
-        aliases = {2: 0, 3: 1, 4: 2, 5: 3, 6: 5, 7: 6}
+        aliases = {2 + n_eff: 0, 3 + n_eff: 1, 4 + n_eff: 2,
+                   5 + n_eff: 3, 6 + n_eff: 5, 7 + n_eff: 6}
 
     sd_shape = jax.ShapeDtypeStruct(arrays[0].shape, jnp.float32)
     cell_shape = jax.ShapeDtypeStruct((nblk * block_rows, 1), jnp.float32)
     outs = pl.pallas_call(
         functools.partial(_kernel, cfg, sstp_cond, sstp_coal, dt, RH_max,
                           do_cond, do_coal, do_adve, do_sedi, do_subs,
-                          block_rows, do_rebin, do_xmerge),
+                          block_rows, do_rebin, do_xmerge,
+                          r_max_um, eff_clamp),
         grid=(nblk,),
         out_shape=tuple([sd_shape] * 8 + [cell_shape] * 6
                         + [jax.ShapeDtypeStruct((nblk, 8, 128),
                                                 jnp.float32)]),
-        in_specs=[scal, scal] + sd_specs + [cspec] * 15,
+        in_specs=[scal, scal] + eff_specs + sd_specs + [cspec] * 15,
         out_specs=tuple([spec] * 8 + [cspec] * 6 + [pspec]),
         input_output_aliases=aliases,
         interpret=interpret,
-    )(seed32, params32, *sd_args, *cells)
+    )(seed32, params32, *eff_args, *sd_args, *cells)
 
     sd = tuple(o[:n_cell] for o in outs[:8])
     cell_out = tuple(o[:n_cell, 0] for o in outs[8:14])
