@@ -148,19 +148,21 @@ def interpolated_efficiency_sweep(clamp, table, r_max_um, rw_a, rw_b):
             [jnp.take_along_axis(src, idx[:, k * 128:(k + 1) * 128], axis=1)
              for k in range(cap // 128)], axis=1)
 
-    def body(k, acc):
-        t00, t10, t01, t11 = acc
-        row = jax.lax.dynamic_slice_in_dim(table, k, 1, axis=0)
+    # STATIC unroll over table rows: Mosaic has no dynamic_slice lowering
+    # inside kernel bodies (a fori_loop carries a traced row index), but
+    # static row slices + the native lane gather lower fine
+    z = jnp.zeros(i0.shape, table.dtype)
+    t00 = t10 = t01 = t11 = z
+    for k in range(clamp + 1):
+        row = table[k:k + 1, :]
         g0 = gather_row(row, j0)
         g1 = gather_row(row, j1)
         m0 = i0 == k
         m1 = i1 == k
-        return (jnp.where(m0, g0, t00), jnp.where(m1, g0, t10),
-                jnp.where(m0, g1, t01), jnp.where(m1, g1, t11))
-
-    z = jnp.zeros(i0.shape, table.dtype)
-    t00, t10, t01, t11 = jax.lax.fori_loop(
-        0, clamp + 1, body, (z, z, z, z))
+        t00 = jnp.where(m0, g0, t00)
+        t10 = jnp.where(m1, g0, t10)
+        t01 = jnp.where(m0, g1, t01)
+        t11 = jnp.where(m1, g1, t11)
     return (
         t00 * w1l * w2l
         + t10 * w1h * w2l

@@ -1014,6 +1014,22 @@ def resident_ok(cfg: StaticConfig, d: DenseState):
     cap = d.n.shape[1]
     if cap & (cap - 1):
         return False
+    if not resident_static_ok(cfg):
+        return False
+    if d.n.dtype != jnp.float32:
+        return False
+    # on-core PRNG has no CPU lowering — TPU only (the Mosaic interpreter
+    # covers CPU conformance runs, with coal routed through the XLA path:
+    # _resident_interpret)
+    return jax.default_backend() == "tpu" or _resident_interpret()
+
+
+def resident_static_ok(cfg: StaticConfig):
+    """The config-only part of resident_ok: does this StaticConfig fit
+    the resident kernel's capability matrix (regardless of the runtime
+    cap/dtype/backend gates)?  The repack policy
+    (Kinematic2D.run_device_lgrngn admissible_cap) uses this to decide
+    whether capacities must stay powers of two."""
     kern = kernel_t(cfg.kernel)
     if kern not in (kernel_t.golovin, kernel_t.geometric, kernel_t.long):
         # tabulated-efficiency kernels run in-kernel when the table clamps
@@ -1027,8 +1043,6 @@ def resident_ok(cfg: StaticConfig, d: DenseState):
         if coal_mod.clamped_efficiency_table(kern) is None:
             return False
     if cfg.pure_const_multi:
-        return False
-    if d.n.dtype != jnp.float32:
         return False
     # the kernel implements the percell substepping only; ANY exact-mode
     # config carries per-SD ambient planes that the in-kernel re-binning
@@ -1045,10 +1059,7 @@ def resident_ok(cfg: StaticConfig, d: DenseState):
         return False
     if as_t(cfg.adve_scheme) not in (as_t.implicit, as_t.euler):
         return False
-    # on-core PRNG has no CPU lowering — TPU only (the Mosaic interpreter
-    # covers CPU conformance runs, with coal routed through the XLA path:
-    # _resident_interpret)
-    return jax.default_backend() == "tpu" or _resident_interpret()
+    return True
 
 
 def _resident_interpret():
@@ -1096,6 +1107,96 @@ def step_fused(cfg: StaticConfig, d: DenseState, th_adv, rv_adv, params, dt,
         cfg, d, th_adv, rv_adv, params, dt, RH_max, sstp_coal,
         do_cond=True, do_coal=do_coal, do_adve=True, do_sedi=do_sedi,
         do_subs=False, w_LS=None)
+
+
+def step_fused_shard(cfg: StaticConfig, d: DenseState, th_adv, rv_adv,
+                     params, dt, RH_max, sstp_coal: int, do_coal: bool,
+                     do_sedi: bool):
+    """step_fused minus any re-binning, with x left UNWRAPPED: the
+    per-shard body for the dense mesh (parallel/dense_mesh.
+    dense_step_sharded), which extracts cross-shard movers from raw
+    positions and re-bins through rebin_sharded itself.  Runs cond + coal
+    + transport as ONE kernel per shard on TPU; in interpreter mode (CPU
+    conformance/dryrun) coalescence routes through the XLA path around a
+    cond kernel and a transport kernel, like _resident_phases_interp.
+    Returns (DenseState, th, rv)."""
+    if _resident_interpret():
+        # CPU conformance: the shard phases avoid every TPU-only
+        # primitive (no in-kernel re-binning, coal routed through XLA),
+        # so the plain single-threaded pallas interpreter covers them.
+        # The multi-core Mosaic interpreter (force_tpu_interpret_mode)
+        # is NOT safe here: under shard_map its io_callback barriers
+        # deadlock across the N concurrent interpreted kernels.
+        d, th, rv = _shard_phase(
+            cfg, d, th_adv, rv_adv, params, dt, RH_max, 1,
+            do_cond=True, do_coal=False, do_adve=False, do_sedi=False,
+            interpret=True)
+        if do_coal:
+            d = coal(cfg, d, params, dt, sstp_coal)
+        d, th, rv = _shard_phase(
+            cfg, d, th, rv, params, dt, RH_max, 1,
+            do_cond=False, do_coal=False, do_adve=True,
+            do_sedi=do_sedi, interpret=True)
+        return d, th, rv
+    return _shard_phase(
+        cfg, d, th_adv, rv_adv, params, dt, RH_max, sstp_coal,
+        do_cond=True, do_coal=do_coal, do_adve=True, do_sedi=do_sedi)
+
+
+def _shard_phase(cfg, d, th_adv, rv_adv, params, dt, RH_max, sstp_coal, *,
+                 do_cond, do_coal, do_adve, do_sedi, interpret=False):
+    """One step_resident pallas_call with do_rebin=False / x_wrap=False
+    plus the XLA-side tail (puddle fold), shared by step_fused_shard's
+    TPU and interpreter branches."""
+    from ..ops.pallas_step import step_resident
+    from .state import OUT_DRY_VOL, OUT_LIQ_NUM, OUT_LIQ_VOL, OUT_PRTCL_NUM
+
+    if do_coal:
+        key, sub = jax.random.split(d.key)
+        seed = jax.random.randint(sub, (), 0, jnp.int32(2**31 - 1))
+    else:
+        key = d.key
+        seed = jnp.int32(0)
+    lam_D, lam_K = hskpng.hskpng_mfp(d.T, d.p)
+    if do_adve:
+        C_l, C_r, C_b, C_a = _row_courants(cfg, d)
+    else:
+        C_l = C_r = C_b = C_a = jnp.zeros_like(d.rhod)
+    w_cells = jnp.zeros_like(d.rhod)
+    eff_kw = {}
+    if do_coal:
+        ct = coal_mod.clamped_efficiency_table(kernel_t(cfg.kernel))
+        if ct is not None:
+            t128, r_max, clamp = ct
+            eff_kw = dict(eff_table=jnp.asarray(t128),
+                          r_max_um=float(r_max), eff_clamp=int(clamp))
+
+    (n, rw2, rd3, kpa, vt, x, z, _xkey, th, rv, T, p, RH, eta,
+     pud) = step_resident(
+        cfg, int(cfg.sstp_cond), int(sstp_coal), float(dt), float(RH_max),
+        bool(do_coal), bool(do_sedi), False, seed, params,
+        d.n, d.rw2, d.rd3, d.kpa, d.x, d.z,
+        th_adv, rv_adv, d.sstp_tmp_th, d.sstp_tmp_rv, d.rhod, d.dv,
+        lam_D, lam_K, C_l, C_r, C_b, C_a, w_cells, None,
+        do_cond=bool(do_cond), do_adve=bool(do_adve),
+        do_rebin=False, x_wrap=False, interpret=interpret, **eff_kw)
+
+    if not (do_adve or do_sedi):
+        return dataclasses.replace(
+            d, n=n, rw2=rw2, rd3=rd3, kpa=kpa, x=x, z=z,
+            T=T, p=p, RH=RH, eta=eta,
+            sstp_tmp_th=th, sstp_tmp_rv=rv, key=key), th, rv
+
+    puddle = d.puddle
+    pud = pud.astype(puddle.dtype)
+    puddle = puddle.at[OUT_LIQ_VOL].add(pud[0])
+    puddle = puddle.at[OUT_DRY_VOL].add(pud[1])
+    puddle = puddle.at[OUT_LIQ_NUM].add(pud[2])
+    puddle = puddle.at[OUT_PRTCL_NUM].add(pud[3])
+    return dataclasses.replace(
+        d, n=n, rw2=rw2, rd3=rd3, kpa=kpa, vt=vt, x=x, z=z,
+        T=T, p=p, RH=RH, eta=eta,
+        sstp_tmp_th=th, sstp_tmp_rv=rv, key=key, puddle=puddle), th, rv
 
 
 def step_cond_resident(cfg: StaticConfig, d: DenseState, th_adv, rv_adv,

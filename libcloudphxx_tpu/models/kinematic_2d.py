@@ -680,7 +680,8 @@ class Kinematic2D:
         return cap
 
     def run_device_lgrngn(self, nt, spinup=0, engine="flat",
-                          repack_every=0, repack_margin=1.25):
+                          repack_every=0, repack_margin=1.25,
+                          chunk_log=None):
         """Device-resident lgrngn run: lax.scan over fused model steps; host
         sees th/rv only at the end.  engine="dense" runs the cell-major
         occupancy-matrix backend (lgrngn/dense.py).
@@ -690,9 +691,14 @@ class Kinematic2D:
         read (one host sync) and the population redistributes to the
         smallest admissible capacity >= repack_margin * occupancy —
         growing BEFORE rows overflow as rain concentrates SDs, and
-        shrinking back so per-lane costs track the real population instead
-        of the historical peak (the r4 bench protocol sidestepped this by
-        re-packing the from-init state; sustained runs cannot)."""
+        shrinking back (with 1.5x hysteresis so a hovering occupancy does
+        not oscillate the capacity) so per-lane costs track the real
+        population instead of the historical peak (the r4 bench protocol
+        sidestepped this by re-packing the from-init state; sustained runs
+        cannot).  ``chunk_log``: optional list; each repack-interval chunk
+        appends {steps, occ, cap, seconds} host-side (tools/
+        bench_sustained.py uses it to separate steady-state chunk times
+        from compile-contaminated ones)."""
         if self.relax_th_rv:
             raise NotImplementedError(
                 "relax_th_rv is only supported in the stepwise run() path")
@@ -729,13 +735,16 @@ class Kinematic2D:
             margin applied, 8-lane aligned, power of two when the resident
             kernel will run (its bitonic network needs it)."""
             want = max(8, int(-(-int(occ * repack_margin) // 8) * 8))
-            if _os.environ.get("LIBCLOUD_RESIDENT", "auto") != "0" \
+            if engine == "dense" \
+                    and dense_mod.resident_static_ok(p.cfg) \
+                    and _os.environ.get("LIBCLOUD_RESIDENT", "auto") != "0" \
                     and jax.default_backend() == "tpu":
                 want = 1 << (want - 1).bit_length()
             return want
 
         repack_jit = None
         if engine == "dense" and repack_every:
+            import time as _time
             repack_jit = jax.jit(dense_mod.repack, static_argnums=(0, 2))
             occ_jit = jax.jit(
                 lambda n: jnp.max(jnp.sum(jnp.where(n > 0, 1, 0), axis=1)))
@@ -743,6 +752,8 @@ class Kinematic2D:
         for n, sp in phases:
             done = 0
             while done < n:
+                if repack_jit is not None:
+                    t_chunk = _time.perf_counter()
                 k = n - done if not repack_jit else min(repack_every,
                                                         n - done)
                 carry = self._lgrngn_runner(sp, k, engine)(carry)
@@ -752,9 +763,19 @@ class Kinematic2D:
                     d0 = carry[0]
                     occ = int(occ_jit(d0.n))
                     new_cap = admissible_cap(occ)
-                    if new_cap != d0.cap:
+                    # grow immediately (overflow would drop SDs); shrink
+                    # only past 1.5x hysteresis so occupancies hovering at
+                    # a capacity boundary do not oscillate (each retarget
+                    # costs a repack sort + possibly a fresh compile)
+                    if new_cap > d0.cap or (
+                            new_cap < d0.cap and occ * 1.5 <= new_cap):
                         d0 = repack_jit(p.cfg, d0, new_cap)
                         carry = (d0,) + carry[1:]
+                    if chunk_log is not None:
+                        chunk_log.append(dict(
+                            spinup=sp, steps=k, occ=occ,
+                            cap=int(carry[0].cap),
+                            seconds=_time.perf_counter() - t_chunk))
         state, th, rv = carry
         if engine == "dense":
             if state.xkey.size:

@@ -109,7 +109,7 @@ def _xmerge_values(nz, q, keys_lcr, planes_lcr):
 
 def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
             do_adve, do_sedi, do_subs, block_rows, do_rebin, do_xmerge,
-            r_max_um, eff_clamp, *refs):
+            r_max_um, eff_clamp, x_wrap, *refs):
     seed_ref, params_ref = refs[0], refs[1]
     pos = 2
     eff_ref = None
@@ -299,7 +299,12 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
         x1 = jnp.float32(cfg.x1)
         z0 = jnp.float32(cfg.z0)
         z1 = jnp.float32(cfg.z1)
-        if not cfg.open_side_walls:
+        if not x_wrap:
+            # mesh shard: x stays unwrapped — cross-shard movers and
+            # open-wall kills belong to the distributed re-binning
+            # (parallel/dense_mesh.rebin_sharded)
+            pass
+        elif not cfg.open_side_walls:
             q = x - x0
             w = x1 - x0
             x = x0 + (q - jnp.floor(q / w) * w)
@@ -442,7 +447,7 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
     static_argnames=("cfg", "sstp_cond", "sstp_coal", "dt", "RH_max",
                      "do_coal", "do_sedi", "do_subs", "do_cond", "do_adve",
                      "block_rows", "do_rebin", "interpret", "r_max_um",
-                     "eff_clamp"),
+                     "eff_clamp", "x_wrap"),
 )
 def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
                   do_subs, seed, params,
@@ -451,7 +456,7 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
                   C_l, C_r, C_b, C_a, w_LS_cells, xkey=None, eff_table=None,
                   *, do_cond=True, do_adve=True, block_rows=128,
                   do_rebin=False, interpret=False, r_max_um=0.0,
-                  eff_clamp=0):
+                  eff_clamp=0, x_wrap=True):
     """One full microphysics step (cond + coal + transport) as a single
     Pallas kernel over row blocks.
 
@@ -485,6 +490,10 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
     if eff_table is not None and eff_table.shape != (128, 128):
         raise ValueError("step_resident: eff_table must be the (128, 128) "
                          "clamped block")
+    if do_rebin and not x_wrap:
+        # the in-kernel re-binning derives x targets from wrapped
+        # positions; a mesh shard re-bins through rebin_sharded instead
+        raise ValueError("step_resident: do_rebin requires x_wrap")
     if do_xmerge and not do_rebin:
         # without do_rebin the block-divisibility check below is skipped
         # and pad rows zero-fill, making padded xkey lanes read as
@@ -585,7 +594,7 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
         functools.partial(_kernel, cfg, sstp_cond, sstp_coal, dt, RH_max,
                           do_cond, do_coal, do_adve, do_sedi, do_subs,
                           block_rows, do_rebin, do_xmerge,
-                          r_max_um, eff_clamp),
+                          r_max_um, eff_clamp, x_wrap),
         grid=(nblk,),
         out_shape=tuple([sd_shape] * 8 + [cell_shape] * 6
                         + [jax.ShapeDtypeStruct((nblk, 8, 128),
@@ -594,6 +603,11 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
         out_specs=tuple([spec] * 8 + [cspec] * 6 + [pspec]),
         input_output_aliases=aliases,
         interpret=interpret,
+        # the unrolled efficiency sweep's live temporaries push the
+        # Mosaic vector stack past the 16 MB default scoped-vmem limit
+        # (measured 22.2 MB at bench shape); physical VMEM is 128 MB
+        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=48 << 20)
+                         if n_eff else None),
     )(seed32, params32, *eff_args, *sd_args, *cells)
 
     sd = tuple(o[:n_cell] for o in outs[:8])

@@ -65,6 +65,8 @@ def _mesh_runner(cfg, cfg_l, m, widths, do_coal, buf=64):
         mesh=mesh,
         in_specs=(spec, P("x"), P("x"), dom_spec),
         out_specs=(spec, P("x"), P("x")),
+        # the resident fast path embeds pallas_call (no vma annotation)
+        check_vma=False,
     ))
     sharding = jax.tree_util.tree_map(
         lambda s: NamedSharding(mesh, s), spec)
@@ -162,3 +164,69 @@ def test_dense_mesh_matches_serial(do_coal):
                                    rtol=1e-4)
     # SDs crossed slab boundaries during the run (the exchange really ran)
     assert (np.abs(res["x"] - 0) < cfg.dx).any() or True
+
+
+def test_dense_mesh_resident_interpret_matches_serial(monkeypatch):
+    """The mesh's fast path (dense.step_fused_shard: ONE resident kernel
+    per shard, x unwrapped, re-binning via rebin_sharded) must reproduce
+    the serial XLA engine with coalescence off — the same bitwise-grade
+    gate as the direct mesh path, through the Mosaic interpreter on CPU.
+    On TPU the same dispatch runs the compiled kernel (dryrun_multichip
+    tail + tools/ab_resident_hall.py cover it)."""
+    monkeypatch.setenv("LIBCLOUD_RESIDENT", "interpret")
+    m = _model()
+    p = m.prtcls
+    cfg = p.cfg
+    cap = 64
+    d0 = jax.jit(dm.pack, static_argnums=(0, 2))(cfg, p.state, cap)
+    d0 = dataclasses.replace(
+        d0, vt=vterm_mod.vt_of(cfg, d0.rw2, d0.T[:, None], d0.p[:, None],
+                               d0.rhod[:, None], d0.eta[:, None]))
+    f32 = lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a
+    d0 = jax.tree.map(f32, d0)
+    th0 = jnp.asarray(m.th, jnp.float32)
+    rv0 = jnp.asarray(m.rv, jnp.float32)
+    # keep the Eulerian advection in f32 too, so the serial reference's
+    # carry stays f32 (the resident path requires an f32 population)
+    m.gc_x = jnp.asarray(m.gc_x, jnp.float32)
+    m.gc_z = jnp.asarray(m.gc_z, jnp.float32)
+    m.G = jnp.asarray(m.G, jnp.float32)
+
+    widths = decomp.slab_widths(cfg.nx, N_SHARDS)
+    cfg_l = dataclasses.replace(
+        cfg, nx=max(widths),
+        n_cell=max(widths) * cfg.nz,
+        x0=0.0, x1=max(widths) * cfg.dx)
+    assert dm.resident_static_ok(cfg_l)
+
+    n_steps = 4
+    fser = _serial_step(cfg, m, False)
+    c = (d0, th0, rv0)
+    for _ in range(n_steps):
+        c = fser(c)
+    d_ser, th_ser, rv_ser = c
+
+    dmesh0 = dense_mesh.scatter_dense(cfg, d0, N_SHARDS, widths)
+    run = _mesh_runner(cfg, cfg_l, m, widths, False)
+    dmesh, th_m, rv_m = run(dmesh0, th0, rv0, n_steps)
+
+    res = dense_mesh.gather_dense(cfg, dmesh, N_SHARDS, widths)
+    assert res["overflow"] == 0.0
+    np.testing.assert_allclose(np.asarray(th_m), np.asarray(th_ser),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(rv_m), np.asarray(rv_ser),
+                               rtol=1e-6)
+    a = _multiset(res)
+    b = _multiset(d_ser, cfg)
+    assert a.shape == b.shape
+    # columns: cell, n, rw2, x, z.  cell/n exact; values at f32 rtol; the
+    # positions additionally carry one f32 ulp of the DOMAIN size — the
+    # serial engine wraps x in global coordinates (ulp(x1) ~ 9e-5 m at
+    # this domain) while the mesh ring moves the same SD in slab-local
+    # coordinates, so a boundary crosser differs by that ulp
+    np.testing.assert_array_equal(a[:, :2], b[:, :2])
+    np.testing.assert_allclose(a[:, 2], b[:, 2], rtol=1e-5)
+    pos_ulp = 1.5e-7 * float(cfg.x1)
+    np.testing.assert_allclose(a[:, 3:], b[:, 3:], rtol=1e-5, atol=pos_ulp)
+    np.testing.assert_allclose(
+        res["puddle"], np.asarray(d_ser.puddle), rtol=1e-5, atol=1e-300)

@@ -129,7 +129,10 @@ def bench_dense():
     shstep = jax.jit(jax.shard_map(
         lambda d, th, rv, dom_: step(d, th, rv, dom_, params, dt),
         mesh=mesh, in_specs=(spec, P("x"), P("x"), dom_spec),
-        out_specs=(spec, P("x"), P("x"))))
+        out_specs=(spec, P("x"), P("x")),
+        # the resident-kernel fast path embeds pallas_call, whose
+        # out_shape carries no vma annotation
+        check_vma=False))
     sharding = jax.tree_util.tree_map(lambda s: NamedSharding(mesh, s),
                                       spec)
     dmesh = jax.device_put(
