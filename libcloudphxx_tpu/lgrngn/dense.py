@@ -600,6 +600,126 @@ def pair_and_collide(cfg: StaticConfig, params, sorted_vals, count,
     return n_s, rw2_s, rd3_s, kpa_s, overflow
 
 
+def _xor_partner(a, stride, lane):
+    """a[:, lane ^ stride] for power-of-two ``stride`` — two static lane
+    rolls + a parity select (the bitonic network's partner fetch)."""
+    fwd = jnp.roll(a, -stride, axis=1)
+    bwd = jnp.roll(a, stride, axis=1)
+    return jnp.where((lane & stride) == 0, fwd, bwd)
+
+
+def pair_and_collide_stride(cfg: StaticConfig, params, vals, stride,
+                            dv_row, rhod_row, eta_row, dt, u01,
+                            eff_table=None, r_max_um=0.0, cbrt_fn=jnp.cbrt,
+                            eff_fn=None):
+    """Shima collision math with XOR-stride partners: lane i pairs with
+    lane i ^ stride, no per-substep shuffle sort.
+
+    The reference re-randomises the in-cell pairing every coalescence
+    substep with a full random-key sort (particles_impl_coal.ipp:439-450 +
+    hskpng_sort.ipp:15-70).  On TPU lanes that sort is the single most
+    expensive piece of the resident kernel (PERF_r04.md: ~3.5 ms of
+    16.4), so the kernel shuffles ONCE per few substeps and cycles the
+    XOR stride in between: conditional on a uniform random lane placement
+    the matching {(sigma(i), sigma(i ^ s))} is a uniform random perfect
+    matching for every s, successive strides never repeat a pair, and
+    the scale factor below keeps the collision-count estimator unbiased
+    for any number of formed pairs (the same correction the reference
+    applies for its floor(k/2) pairs, coal.ipp:99-107).
+
+    Pairs straddling a dead lane are skipped; ``scale`` = k(k-1)/2 /
+    n_pairs over the k alive SDs generalises the reference's
+    k(k-1)/2/floor(k/2).  Each lane computes its own pair's outcome from
+    the partner planes (symmetric math, shared per-pair uniform draw), so
+    there is no post-hoc write-back shift.  ``stride`` must be static
+    (lane rolls); the resident kernel cycles dynamic stride indices via
+    pair_and_collide_partners instead.  Returns
+    (n, rw2, rd3, kpa, overflow_flag)."""
+    n_a = vals[0]
+    lane = jax.lax.broadcasted_iota(jnp.int32, n_a.shape, n_a.ndim - 1)
+    partners = tuple(_xor_partner(a, stride, lane) for a in vals)
+    is_a = (lane & stride) == 0
+    u_b = _xor_partner(u01, stride, lane)
+    return pair_and_collide_partners(
+        cfg, params, vals, partners, is_a, dv_row, rhod_row, eta_row,
+        dt, u01, u_b, eff_table=eff_table, r_max_um=r_max_um,
+        cbrt_fn=cbrt_fn, eff_fn=eff_fn)
+
+
+def pair_and_collide_partners(cfg: StaticConfig, params, vals, partners,
+                              is_a, dv_row, rhod_row, eta_row, dt,
+                              u01, u01_b,
+                              eff_table=None, r_max_um=0.0,
+                              cbrt_fn=jnp.cbrt, eff_fn=None):
+    """The symmetric collision math of pair_and_collide_stride given
+    pre-fetched partner planes (see there for semantics): every lane
+    holds one SD of a pair, ``partners`` its partner's (n, rw2, rd3,
+    kpa, vt), ``is_a`` which lane of each pair carries the Bernoulli
+    draw (``u01`` own draw, ``u01_b`` the partner's)."""
+    n_a, rw2_a, rd3_a, kpa_a, vt_a = vals
+    n_b, rw2_b, rd3_b, kpa_b, vt_b = partners
+
+    alive = n_a > 0
+    pair_ok = alive & (n_b > 0)
+    one = jnp.ones_like(n_a)
+    zero = jnp.zeros_like(n_a)
+    count = jnp.sum(jnp.where(alive, one, zero), axis=-1, keepdims=True)
+    npairs = jnp.sum(jnp.where(pair_ok & is_a, one, zero),
+                     axis=-1, keepdims=True)
+    scale = jnp.where((count > 1) & (npairs > 0),
+                      count * (count - 1) / 2.0
+                      / jnp.maximum(npairs, 1.0), 0.0)
+
+    K = coal_mod.kernel_value(
+        cfg, params, n_a, n_b, rw2_a, rw2_b, vt_a, vt_b, rd3_a, rd3_b,
+        eff_table=eff_table, r_max_um=r_max_um,
+        rhod=rhod_row, eta=eta_row, diss_rate=0.0, eff_fn=eff_fn,
+    )
+    prob = jnp.where(pair_ok, dt / dv_row * scale * K, 0.0)
+
+    # all-or-nothing multi-collision (coal.ipp:218-236); the Bernoulli
+    # draw must be the SAME on both lanes of a pair — take the a-lane's
+    u_pair = jnp.where(is_a, u01, u01_b)
+    col_no = jnp.floor(prob)
+    overflow = jnp.max(jnp.where(pair_ok, col_no, 0.0)) >= 1.0
+    col_no = col_no + (u_pair < prob - col_no)
+
+    # role assignment is symmetric with an is_a tiebreak on equal n
+    self_is_big = (n_a > n_b) | ((n_a == n_b) & is_a)
+    n_big = jnp.where(self_is_big, n_a, n_b)
+    n_small = jnp.where(self_is_big, n_b, n_a)
+    ratio = jnp.where(n_small > 0,
+                      jnp.floor(n_big / jnp.maximum(n_small, 1)), 0.0)
+    col_no = jnp.minimum(col_no, ratio)
+    happened = pair_ok & (col_no > 0)
+
+    rw2_big = jnp.where(self_is_big, rw2_a, rw2_b)
+    rw2_small = jnp.where(self_is_big, rw2_b, rw2_a)
+    rd3_big = jnp.where(self_is_big, rd3_a, rd3_b)
+    rd3_small = jnp.where(self_is_big, rd3_b, rd3_a)
+    kpa_big = jnp.where(self_is_big, kpa_a, kpa_b)
+    kpa_small = jnp.where(self_is_big, kpa_b, kpa_a)
+
+    # Shima eqs. 12-13 (coal.ipp:118-143), applied to SELF per role
+    n_big_new = n_big - col_no * n_small
+    rw3_small_new = col_no * rw2_big * jnp.sqrt(rw2_big) \
+        + rw2_small * jnp.sqrt(rw2_small)
+    rw2_small_new = cbrt_fn(rw3_small_new) ** 2
+    rd3_small_new = col_no * rd3_big + rd3_small
+    kpa_small_new = jnp.where(
+        rd3_small_new > 0,
+        (col_no * kpa_big * rd3_big + kpa_small * rd3_small)
+        / jnp.maximum(rd3_small_new, 1e-300),
+        kpa_small,
+    )
+
+    n_s = jnp.where(happened & self_is_big, n_big_new, n_a)
+    rw2_s = jnp.where(happened & ~self_is_big, rw2_small_new, rw2_a)
+    rd3_s = jnp.where(happened & ~self_is_big, rd3_small_new, rd3_a)
+    kpa_s = jnp.where(happened & ~self_is_big, kpa_small_new, kpa_a)
+    return n_s, rw2_s, rd3_s, kpa_s, overflow
+
+
 def coal_substep(cfg: StaticConfig, d: DenseState, params, dt, key,
                  eff_table, r_max_um):
     """One SDM coalescence substep, cell-major (reference
@@ -1062,6 +1182,15 @@ def resident_static_ok(cfg: StaticConfig):
     return True
 
 
+def _coal_pairing():
+    """Resident-kernel pairing mode: "stride" (default — XOR-stride
+    partners, one shuffle per stride cycle, pair_and_collide_stride) or
+    "sort" (LIBCLOUD_COAL_PAIRING=sort — the reference-faithful
+    per-substep shuffle sort, for A/B runs)."""
+    import os
+    return os.environ.get("LIBCLOUD_COAL_PAIRING", "stride")
+
+
 def _resident_interpret():
     """True when the resident kernel should run through the Mosaic
     interpreter (LIBCLOUD_RESIDENT=interpret off-TPU) — CPU conformance
@@ -1179,7 +1308,8 @@ def _shard_phase(cfg, d, th_adv, rv_adv, params, dt, RH_max, sstp_coal, *,
         th_adv, rv_adv, d.sstp_tmp_th, d.sstp_tmp_rv, d.rhod, d.dv,
         lam_D, lam_K, C_l, C_r, C_b, C_a, w_cells, None,
         do_cond=bool(do_cond), do_adve=bool(do_adve),
-        do_rebin=False, x_wrap=False, interpret=interpret, **eff_kw)
+        do_rebin=False, x_wrap=False, interpret=interpret,
+        coal_pairing=_coal_pairing(), **eff_kw)
 
     if not (do_adve or do_sedi):
         return dataclasses.replace(
@@ -1330,7 +1460,8 @@ def _resident_phases_impl(cfg, d, th_adv, rv_adv, params, dt, RH_max,
         lam_D, lam_K, C_l, C_r, C_b, C_a, w_cells,
         d.xkey if deferred else None,
         do_cond=bool(do_cond), do_adve=bool(do_adve),
-        block_rows=block_rows, do_rebin=kernel_rebin, **eff_kw)
+        block_rows=block_rows, do_rebin=kernel_rebin,
+        coal_pairing=_coal_pairing(), **eff_kw)
 
     if not do_transport:
         # cond-only phase: positions/vt untouched (the kernel passes them

@@ -763,11 +763,18 @@ class Kinematic2D:
                     d0 = carry[0]
                     occ = int(occ_jit(d0.n))
                     new_cap = admissible_cap(occ)
-                    # grow immediately (overflow would drop SDs); shrink
-                    # only past 1.5x hysteresis so occupancies hovering at
-                    # a capacity boundary do not oscillate (each retarget
-                    # costs a repack sort + possibly a fresh compile)
-                    if new_cap > d0.cap or (
+                    # grow only when the CURRENT capacity is actually
+                    # tight (<10% headroom): the margin is for choosing
+                    # the new capacity, not the grow trigger — occupancy
+                    # drifts ~5-10 per repack interval at the GMD rain
+                    # peak, and a 1.25x trigger would double every
+                    # lane-wise cost for the tail of the run at occ just
+                    # past cap/1.25 (SUSTAINED r5: occ 105 of cap 128
+                    # forced 200 steps at cap 256, 2.3x slower); shrink
+                    # only past 1.5x hysteresis so occupancies hovering
+                    # at a capacity boundary do not oscillate (each
+                    # retarget costs a repack sort + maybe a compile)
+                    if (occ * 1.10 > d0.cap and new_cap > d0.cap) or (
                             new_cap < d0.cap and occ * 1.5 <= new_cap):
                         d0 = repack_jit(p.cfg, d0, new_cap)
                         carry = (d0,) + carry[1:]

@@ -42,6 +42,7 @@ except ImportError:  # pragma: no cover
     pltpu = None
 
 from .pallas_coal import _u01, _vt_in_kernel, bitonic_sort_rows
+from .pallas_compact import stable_partition_rows
 
 # input layout bookkeeping
 _SD_PLANES = 6          # n, rw2, rd3, kpa, x, z
@@ -98,7 +99,11 @@ def _xmerge_values(nz, q, keys_lcr, planes_lcr):
         [keep, sel_r + jnp.roll(sel_l, M, axis=1)], axis=1) \
         * jnp.where(planes[0] > 0, f32(1.0), f32(0.0))
     fkey = jnp.where(m_alive > 0, f32(0.0), f32(1.0))
-    fkey, planes = bitonic_sort_rows(fkey, tuple(planes))
+    # alive-to-front: a stable binary partition (log L shift stages)
+    # replaces the r4 bitonic compaction (log^2 L compare-exchanges)
+    outs_p, _nf = stable_partition_rows(m_alive > 0,
+                                        (fkey,) + tuple(planes))
+    fkey, planes = outs_p[0], list(outs_p[1:])
     lane2 = jax.lax.broadcasted_iota(jnp.int32, fkey.shape, 1)
     drops = jnp.sum(jnp.where((fkey == 0.0) & (lane2 >= cap),
                               f32(1.0), f32(0.0)))
@@ -109,7 +114,7 @@ def _xmerge_values(nz, q, keys_lcr, planes_lcr):
 
 def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
             do_adve, do_sedi, do_subs, block_rows, do_rebin, do_xmerge,
-            r_max_um, eff_clamp, x_wrap, *refs):
+            r_max_um, eff_clamp, x_wrap, coal_pairing, *refs):
     seed_ref, params_ref = refs[0], refs[1]
     pos = 2
     eff_ref = None
@@ -228,36 +233,92 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
         else:
             eff_tbl, eff_fn = None, None
 
-        # Ride-thin shuffle: x and z are not read by the pairing math, so
-        # a lane-id plane rides the per-substep sorts in their place and
-        # ONE final unsort (ascending id) restores the original lane
-        # order, re-aligning the mutated planes with the untouched x/z.
-        # vt is recomputed AFTER each shuffle from the sorted rw2 — the
-        # same per-SD values, one ride cheaper.  5 rides per stage instead
-        # of 7; the PRNG draw order is unchanged, so pairing (and hence
-        # physics) is bitwise identical to the ride-everything loop.
-        def coal_sub(_, carry):
-            n, rw2, rd3, kpa, idp = carry
-            u = _u01(n.shape)
-            skey = jnp.where(n > 0, u, 2.0)
-            _, (n, rw2, rd3, kpa, idp) = bitonic_sort_rows(
-                skey, (n, rw2, rd3, kpa, idp))
-            vt = _vt_in_kernel(cfg, rw2, T, p, rhod, eta)
-            count = jnp.sum((n > 0).astype(n.dtype), axis=1, keepdims=True)
-            u01 = _u01(n.shape)
-            n, rw2, rd3, kpa, _o = pair_and_collide(
-                cfg, params, (n, rw2, rd3, kpa, vt), count,
-                dv, rhod, eta, dt_sub, u01,
-                eff_table=eff_tbl, r_max_um=r_max_um, eff_fn=eff_fn,
-                cbrt_fn=lambda v: cbrt_pos(jnp.maximum(v, 1e-38)))
-            return (n, rw2, rd3, kpa, idp)
+        if coal_pairing == "stride":
+            # XOR-stride pairing (dense.pair_and_collide_stride): ONE
+            # random bitonic shuffle per stride cycle, partners fetched
+            # by lane rolls in between — the per-substep shuffle sort
+            # was ~3.5 ms of the 16.4 ms step (PERF_r04.md).  Strides
+            # are 2^sidx, so the dynamic stride value is a shift; only
+            # the rolls need static amounts (lax.switch over the cycle).
+            from ..lgrngn.dense import pair_and_collide_partners
+            cap_w = n.shape[1]
+            n_strides = 1
+            while (1 << n_strides) <= cap_w // 4 and n_strides < 6:
+                n_strides += 1
+            lane = jax.lax.broadcasted_iota(jnp.int32, n.shape, 1)
 
-        id0 = jax.lax.broadcasted_iota(
-            jnp.int32, n.shape, 1).astype(jnp.float32)
-        n, rw2, rd3, kpa, idp = jax.lax.fori_loop(
-            0, sstp_coal, coal_sub, (n, rw2, rd3, kpa, id0))
-        _, (n, rw2, rd3, kpa) = bitonic_sort_rows(
-            idp, (n, rw2, rd3, kpa))
+            def shuffle(planes):
+                u = _u01(planes[0].shape)
+                skey = jnp.where(planes[0] > 0, u, 2.0)
+                _, planes = bitonic_sort_rows(skey, planes)
+                return planes
+
+            def fetch(stride, ride):
+                return tuple(
+                    jnp.where((lane & stride) == 0,
+                              jnp.roll(a, -stride, axis=1),
+                              jnp.roll(a, stride, axis=1))
+                    for a in ride)
+
+            def coal_sub(i, carry):
+                sidx = jax.lax.rem(i, n_strides)
+                carry = jax.lax.cond(sidx == 0, shuffle,
+                                     lambda q: q, carry)
+                n, rw2, rd3, kpa, x, z = carry
+                vt = _vt_in_kernel(cfg, rw2, T, p, rhod, eta)
+                u01 = _u01(n.shape)
+                ride = (n, rw2, rd3, kpa, vt, u01)
+                pn, prw2, prd3, pkpa, pvt, pu01 = jax.lax.switch(
+                    sidx,
+                    [functools.partial(fetch, 1 << s)
+                     for s in range(n_strides)],
+                    ride)
+                stride_dyn = jax.lax.shift_left(jnp.int32(1), sidx)
+                is_a = (lane & stride_dyn) == 0
+                n, rw2, rd3, kpa, _o = pair_and_collide_partners(
+                    cfg, params, (n, rw2, rd3, kpa, vt),
+                    (pn, prw2, prd3, pkpa, pvt), is_a,
+                    dv, rhod, eta, dt_sub, u01, pu01,
+                    eff_table=eff_tbl, r_max_um=r_max_um, eff_fn=eff_fn,
+                    cbrt_fn=lambda v: cbrt_pos(jnp.maximum(v, 1e-38)))
+                return (n, rw2, rd3, kpa, x, z)
+
+            n, rw2, rd3, kpa, x, z = jax.lax.fori_loop(
+                0, sstp_coal, coal_sub, (n, rw2, rd3, kpa, x, z))
+        else:
+            # Reference-faithful per-substep shuffle.  Ride-thin: x and z
+            # are not read by the pairing math, so a lane-id plane rides
+            # the per-substep sorts in their place and ONE final unsort
+            # (ascending id) restores the original lane order,
+            # re-aligning the mutated planes with the untouched x/z.
+            # vt is recomputed AFTER each shuffle from the sorted rw2 —
+            # the same per-SD values, one ride cheaper.  5 rides per
+            # stage instead of 7; the PRNG draw order is unchanged, so
+            # pairing (and hence physics) is bitwise identical to the
+            # ride-everything loop.
+            def coal_sub(_, carry):
+                n, rw2, rd3, kpa, idp = carry
+                u = _u01(n.shape)
+                skey = jnp.where(n > 0, u, 2.0)
+                _, (n, rw2, rd3, kpa, idp) = bitonic_sort_rows(
+                    skey, (n, rw2, rd3, kpa, idp))
+                vt = _vt_in_kernel(cfg, rw2, T, p, rhod, eta)
+                count = jnp.sum((n > 0).astype(n.dtype), axis=1,
+                                keepdims=True)
+                u01 = _u01(n.shape)
+                n, rw2, rd3, kpa, _o = pair_and_collide(
+                    cfg, params, (n, rw2, rd3, kpa, vt), count,
+                    dv, rhod, eta, dt_sub, u01,
+                    eff_table=eff_tbl, r_max_um=r_max_um, eff_fn=eff_fn,
+                    cbrt_fn=lambda v: cbrt_pos(jnp.maximum(v, 1e-38)))
+                return (n, rw2, rd3, kpa, idp)
+
+            id0 = jax.lax.broadcasted_iota(
+                jnp.int32, n.shape, 1).astype(jnp.float32)
+            n, rw2, rd3, kpa, idp = jax.lax.fori_loop(
+                0, sstp_coal, coal_sub, (n, rw2, rd3, kpa, id0))
+            _, (n, rw2, rd3, kpa) = bitonic_sort_rows(
+                idp, (n, rw2, rd3, kpa))
 
     # final vterm refresh (hskpng_vterm_invalid after the last substep /
     # hskpng_vterm_all at step_async entry).  The cond-only phase keeps
@@ -353,8 +414,10 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
                          jnp.where(alive & (dk == -1.0), f32(1.0),
                                    jnp.where(alive, f32(2.0), f32(3.0))))
         zkey = jnp.where(far_z, f32(2.0), zkey)  # stay put; global-rebin fixes
-        zkey, (n, rw2, rd3, kpa, vt, x, z) = bitonic_sort_rows(
-            zkey, (n, rw2, rd3, kpa, vt, x, z))
+        # movers-to-front is all the merge below needs (it reads zkey by
+        # VALUE): one stable binary partition, not a 4-class sort
+        (zkey, n, rw2, rd3, kpa, vt, x, z), _nf = stable_partition_rows(
+            zkey < 2.0, (zkey, n, rw2, rd3, kpa, vt, x, z))
         lane = jax.lax.broadcasted_iota(jnp.int32, zkey.shape, 1)
         in_win = (lane < M).astype(jnp.float32)
         nmov = jnp.sum(jnp.where(zkey < 2.0, f32(1.0), f32(0.0)),
@@ -408,7 +471,13 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
         far_flag = win_ovf + jnp.max(jnp.where(far_z, f32(1.0), f32(0.0))) \
             + jnp.max(jnp.where(far_x, f32(1.0), f32(0.0)))
 
-        xkey, merged = bitonic_sort_rows(xkey, merged)
+        # the x pass needs movers in the [0, M) window (read by value) and
+        # the dead compacted past every live SD before the [:, :cap] trim:
+        # two stable binary partitions (movers front, then alive front —
+        # stability keeps movers first) replace the 4-class bitonic sort
+        outs_p, _nf2 = stable_partition_rows(xkey < 2.0, (xkey,) + merged)
+        outs_p, _nf2 = stable_partition_rows(outs_p[0] < 3.0, outs_p)
+        xkey, merged = outs_p[0], outs_p[1:]
         lane2 = jax.lax.broadcasted_iota(jnp.int32, xkey.shape, 1)
         drops = drops + jnp.sum(jnp.where((xkey < 3.0) & (lane2 >= cap),
                                           f32(1.0), f32(0.0)))
@@ -447,7 +516,7 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
     static_argnames=("cfg", "sstp_cond", "sstp_coal", "dt", "RH_max",
                      "do_coal", "do_sedi", "do_subs", "do_cond", "do_adve",
                      "block_rows", "do_rebin", "interpret", "r_max_um",
-                     "eff_clamp", "x_wrap"),
+                     "eff_clamp", "x_wrap", "coal_pairing"),
 )
 def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
                   do_subs, seed, params,
@@ -456,7 +525,7 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
                   C_l, C_r, C_b, C_a, w_LS_cells, xkey=None, eff_table=None,
                   *, do_cond=True, do_adve=True, block_rows=128,
                   do_rebin=False, interpret=False, r_max_um=0.0,
-                  eff_clamp=0, x_wrap=True):
+                  eff_clamp=0, x_wrap=True, coal_pairing="stride"):
     """One full microphysics step (cond + coal + transport) as a single
     Pallas kernel over row blocks.
 
@@ -594,7 +663,7 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
         functools.partial(_kernel, cfg, sstp_cond, sstp_coal, dt, RH_max,
                           do_cond, do_coal, do_adve, do_sedi, do_subs,
                           block_rows, do_rebin, do_xmerge,
-                          r_max_um, eff_clamp, x_wrap),
+                          r_max_um, eff_clamp, x_wrap, coal_pairing),
         grid=(nblk,),
         out_shape=tuple([sd_shape] * 8 + [cell_shape] * 6
                         + [jax.ShapeDtypeStruct((nblk, 8, 128),
