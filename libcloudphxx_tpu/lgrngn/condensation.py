@@ -613,30 +613,69 @@ def cond_perparticle_adaptive(cfg: StaticConfig, state: State, dt, RH_max,
     pre-adaptation ambient state instead of replaying signed delta
     fractions (reference :197-200 is only exact for power-of-two
     sstp_cond)."""
+    g = lambda arr: arr[state.ijk]
+    # stale cell mean free paths (see cond_perparticle docstring)
+    lam_D_c, lam_K_c = lam if lam is not None else stale_mfp(state)
+    dot_ssp = state.dot_ssp if turb_cond else 0.0
+    ssp0 = state.ssp if turb_cond else jnp.zeros_like(state.sstp_tmp_rv)
+    tmp_p0 = (state.sstp_tmp_p if cfg.const_p
+              else jnp.zeros_like(state.sstp_tmp_rv))
+
+    mom3_before = _specific_mom3(cfg, state)
+    rw2, tmp_rv, tmp_th, tmp_rh, tmp_p, ssp = perparticle_adaptive_core(
+        cfg, dt, RH_max, turb_cond,
+        n=state.n, rw2=state.rw2, rd3=state.rd3, kpa=state.kpa,
+        vt=state.vt, dv_sd=g(state.dv),
+        lam_D_sd=g(lam_D_c), lam_K_sd=g(lam_K_c),
+        dlt_rv=g(state.rv) - state.sstp_tmp_rv,
+        dlt_th=g(state.th) - state.sstp_tmp_th,
+        dlt_rh=g(state.rhod) - state.sstp_tmp_rh,
+        dlt_p=(g(state.p) - state.sstp_tmp_p) if cfg.const_p else 0.0,
+        tmp_rv0=state.sstp_tmp_rv, tmp_th0=state.sstp_tmp_th,
+        tmp_rh0=state.sstp_tmp_rh, tmp_p0=tmp_p0,
+        ssp0=ssp0, dot_ssp=dot_ssp, T_sd=g(state.T),
+    )
+
+    new_fields = dict(
+        rw2=rw2, sstp_tmp_rv=tmp_rv, sstp_tmp_th=tmp_th, sstp_tmp_rh=tmp_rh,
+    )
+    if cfg.const_p:
+        new_fields["sstp_tmp_p"] = tmp_p
+    if turb_cond:
+        new_fields["ssp"] = ssp
+    state = dataclasses.replace(state, **new_fields)
+
+    # per-cell closure from the total liquid-content change
+    # (apply_perparticle_cond_change_to_percell_rv_and_th)
+    mom3_after = _specific_mom3(cfg, state)
+    drv_cell = (mom3_after - mom3_before) * (4.0 / 3) * c.pi * c.rho_w
+    return _apply_drv_to_cell_th_rv(cfg, state, drv_cell)
+
+
+def perparticle_adaptive_core(cfg: StaticConfig, dt, RH_max, turb_cond, *,
+                              n, rw2, rd3, kpa, vt, dv_sd,
+                              lam_D_sd, lam_K_sd,
+                              dlt_rv, dlt_th, dlt_rh, dlt_p,
+                              tmp_rv0, tmp_th0, tmp_rh0, tmp_p0,
+                              ssp0, dot_ssp, T_sd):
+    """The per-SD (purely elementwise) body of cond_perparticle_adaptive —
+    phase A adaptation + phase B masked substepping — over arrays of ANY
+    layout: flat (n_part,) vectors or raveled dense (n_cell*cap,) planes.
+    Shared verbatim by the flat engine (cond_perparticle_adaptive) and the
+    dense engine (dense.step_cond_adaptive) so the two cannot drift; the
+    callers own the layout-specific gathers and the per-cell closure.
+
+    Returns (rw2, tmp_rv, tmp_th, tmp_rh, tmp_p, ssp)."""
     sstp_max = max(int(cfg.sstp_cond), 1)
     sstp_act = max(int(cfg.sstp_cond_act), 1)
     eps = cfg.sstp_cond_adapt_drw2_eps
     dmax = cfg.sstp_cond_adapt_drw2_max
-
-    g = lambda arr: arr[state.ijk]
-    # stale cell mean free paths (see cond_perparticle docstring)
-    lam_D_c, lam_K_c = lam if lam is not None else stale_mfp(state)
-    lam_D_sd = g(lam_D_c)
-    lam_K_sd = g(lam_K_c)
-    # whole-step ambient deltas (calculate_noncond_perparticle_sstp_delta)
-    dlt_rv = g(state.rv) - state.sstp_tmp_rv
-    dlt_th = g(state.th) - state.sstp_tmp_th
-    dlt_rh = g(state.rhod) - state.sstp_tmp_rh
-    dlt_p = (g(state.p) - state.sstp_tmp_p) if cfg.const_p else 0.0
-
-    live = state.n > 0
-    dv_sd = g(state.dv)
-    dot_ssp = state.dot_ssp if turb_cond else 0.0
-
-    tmp_rv0, tmp_th0 = state.sstp_tmp_rv, state.sstp_tmp_th
-    tmp_rh0 = state.sstp_tmp_rh
-    tmp_p0 = state.sstp_tmp_p if cfg.const_p else jnp.zeros_like(tmp_rv0)
-    ssp0 = state.ssp if turb_cond else jnp.zeros_like(tmp_rv0)
+    from types import SimpleNamespace
+    live = n > 0
+    # the phase A/B bodies below read the per-SD attributes through a
+    # state-like view so they stay textually identical to the pre-split
+    # flat implementation
+    state = SimpleNamespace(rd3=rd3, kpa=kpa, vt=vt, n=n, rw2=rw2)
 
     def grow(tmp_rv, tmp_th, tmp_rh, tmp_p, ssp, rw2, dt_sub):
         Tp, pp, RHp, eta_p = _perparticle_thermo(
@@ -656,7 +695,7 @@ def cond_perparticle_adaptive(cfg: StaticConfig, state: State, dt, RH_max,
     tmp_rv, tmp_th, tmp_rh, tmp_p, ssp = (
         tmp_rv0, tmp_th0, tmp_rh0, tmp_p0, ssp0
     )
-    sstp = jnp.full_like(state.ijk, sstp_max)
+    sstp = jnp.full(state.n.shape, sstp_max, jnp.int32)
     done = jnp.zeros_like(live, dtype=bool)
     first_done = jnp.full_like(done, sstp_max == 1)
     drw2 = jnp.zeros_like(tmp_rv)
@@ -702,7 +741,7 @@ def cond_perparticle_adaptive(cfg: StaticConfig, state: State, dt, RH_max,
         rc2 = kappa_koehler.rw3_cr(
             jnp.maximum(state.rd3, 1e-300),
             jnp.maximum(state.kpa, 1e-10),
-            state.T[state.ijk],
+            T_sd,
         ) ** (2.0 / 3)
         proj = state.rw2 + sstp * drw2
         crossing = ((state.rw2 < rc2) & (proj > rc2)) | (
@@ -719,7 +758,6 @@ def cond_perparticle_adaptive(cfg: StaticConfig, state: State, dt, RH_max,
         ssp = jnp.where(first_done, ssp, ssp0)
 
     # ---- phase B: masked substepping (reference :206-263)
-    mom3_before = _specific_mom3(cfg, state)
     n_steps = max(sstp_max, sstp_act)
     mlt = -(4.0 / 3) * c.pi * c.rho_w
 
@@ -758,18 +796,4 @@ def cond_perparticle_adaptive(cfg: StaticConfig, state: State, dt, RH_max,
         0, n_steps, substep,
         (state.rw2, tmp_rv, tmp_th, tmp_rh, tmp_p, ssp),
     )
-
-    new_fields = dict(
-        rw2=rw2, sstp_tmp_rv=tmp_rv, sstp_tmp_th=tmp_th, sstp_tmp_rh=tmp_rh,
-    )
-    if cfg.const_p:
-        new_fields["sstp_tmp_p"] = tmp_p
-    if turb_cond:
-        new_fields["ssp"] = ssp
-    state = dataclasses.replace(state, **new_fields)
-
-    # per-cell closure from the total liquid-content change
-    # (apply_perparticle_cond_change_to_percell_rv_and_th)
-    mom3_after = _specific_mom3(cfg, state)
-    drv_cell = (mom3_after - mom3_before) * (4.0 / 3) * c.pi * c.rho_w
-    return _apply_drv_to_cell_th_rv(cfg, state, drv_cell)
+    return rw2, tmp_rv, tmp_th, tmp_rh, tmp_p, ssp

@@ -115,15 +115,11 @@ class DenseState:
 
 def _supported(cfg: StaticConfig):
     """The dense backend covers the production kinematic workload plus
-    const_p/th_std and every advection scheme; the long-tail option
-    combinations (ice/chem/SGS, exact/adaptive substepping) stay on the
-    flat engine."""
+    const_p/th_std, every advection scheme, and all three condensation
+    substepping modes (percell, exact fixed-count, adaptive); only
+    ice/chem/SGS and diag_incloud_time stay on the flat engine."""
     if cfg.n_dims not in (2, 3):
         raise NotImplementedError("dense engine: 2-D/3-D only")
-    if cfg.adaptive_sstp_cond:
-        raise NotImplementedError(
-            "dense engine: adaptive per-SD substepping stays on the flat "
-            "engine (percell and exact fixed-count are covered)")
     if cfg.ice_switch or cfg.chem_switch or cfg.turb_cond_switch:
         raise NotImplementedError("dense engine: ice/chem/SGS not supported")
     if cfg.diag_incloud_time:
@@ -312,6 +308,8 @@ def step_cond(cfg: StaticConfig, d: DenseState, th, rv, dt, RH_max):
     (same dispatch condition as the flat engine, particles.py
     step_cond_body / reference particles_step.ipp:199-236)."""
     if cfg.exact_sstp_cond and (cfg.sstp_cond > 1 or cfg.sstp_cond_act > 1):
+        if cfg.adaptive_sstp_cond:
+            return step_cond_adaptive(cfg, d, th, rv, dt, RH_max)
         return step_cond_exact(cfg, d, th, rv, dt, RH_max)
     return _step_cond_percell(cfg, d, th, rv, dt, RH_max)
 
@@ -414,6 +412,70 @@ def step_cond_exact(cfg: StaticConfig, d: DenseState, th, rv, dt, RH_max):
     # take the post-cond refresh that the flat pipeline gets at
     # step_async entry (particles.py:132-167) — the dense step_async
     # reads them directly.
+    T2, p2, RH2, eta2 = _Tpr(cfg, th_c, rv_c, d.rhod, d.p)
+    d = dataclasses.replace(
+        d, rw2=rw2, T=T2, p=p2, RH=RH2, eta=eta2,
+        sstp_tmp_th=th_c, sstp_tmp_rv=rv_c,
+        sd_th=jnp.broadcast_to(row(th_c), shape),
+        sd_rv=jnp.broadcast_to(row(rv_c), shape),
+        sd_rh=jnp.broadcast_to(row(d.rhod), shape),
+        sd_p=jnp.broadcast_to(row(p), shape),
+    )
+    return d, th_c, rv_c
+
+
+def step_cond_adaptive(cfg: StaticConfig, d: DenseState, th, rv, dt,
+                       RH_max):
+    """Adaptive per-SD condensation substepping on the dense layout
+    (reference perparticle_nomixing_adaptive_sstp_cond.ipp:8-335).
+
+    The per-SD adaptation and masked substepping are purely elementwise,
+    so the dense engine feeds the RAVELED (n_cell*cap,) planes through the
+    SAME condensation.perparticle_adaptive_core the flat engine uses (the
+    two cannot drift); only the gathers (row broadcasts here), the
+    liquid-content row reduction and the cell closure are layout-specific.
+    Ends with the exact-mode sstp_save like step_cond_exact."""
+    from .condensation import (apply_drv_to_th_rv,
+                               perparticle_adaptive_core)
+
+    row = lambda a: a[:, None]
+    shape = d.rw2.shape
+    flat = lambda a: jnp.broadcast_to(a, shape).ravel()
+
+    # stale mean free paths, then the Tpr refresh from the advected fields
+    # (the flat step_cond_body order)
+    lam_D_c, lam_K_c = hskpng.hskpng_mfp(d.T, d.p)
+    T, p, RH, eta = _Tpr(cfg, th, rv, d.rhod, d.p)
+
+    live = d.n > 0
+    wgt = d.n / (d.dv * d.rhod)[:, None]
+    rw3 = d.rw2 * jnp.sqrt(jnp.maximum(d.rw2, 0.0))
+    mom3_before = jnp.sum(jnp.where(live, wgt * rw3, 0.0), axis=1)
+
+    zero = jnp.zeros(shape, d.rw2.dtype).ravel()
+    rw2, tmp_rv, tmp_th, tmp_rh, tmp_p, _ssp = perparticle_adaptive_core(
+        cfg, dt, RH_max, False,
+        n=d.n.ravel(), rw2=d.rw2.ravel(), rd3=d.rd3.ravel(),
+        kpa=d.kpa.ravel(), vt=d.vt.ravel(), dv_sd=flat(row(d.dv)),
+        lam_D_sd=flat(row(lam_D_c)), lam_K_sd=flat(row(lam_K_c)),
+        dlt_rv=(row(rv) - d.sd_rv).ravel(),
+        dlt_th=(row(th) - d.sd_th).ravel(),
+        dlt_rh=(row(d.rhod) - d.sd_rh).ravel(),
+        dlt_p=(row(p) - d.sd_p).ravel() if cfg.const_p else 0.0,
+        tmp_rv0=d.sd_rv.ravel(), tmp_th0=d.sd_th.ravel(),
+        tmp_rh0=d.sd_rh.ravel(),
+        tmp_p0=d.sd_p.ravel() if cfg.const_p else zero,
+        ssp0=zero, dot_ssp=0.0, T_sd=flat(row(T)),
+    )
+    rw2 = rw2.reshape(shape)
+
+    rw3 = rw2 * jnp.sqrt(jnp.maximum(rw2, 0.0))
+    mom3_after = jnp.sum(jnp.where(live, wgt * rw3, 0.0), axis=1)
+    drv_cell = (mom3_after - mom3_before) * (4.0 / 3) * c.pi * c.rho_w
+    th_c, rv_c = apply_drv_to_th_rv(cfg, th, rv, d.rhod, p, drv_cell)
+
+    # sstp_save, exact mode (see step_cond_exact tail): per-SD copies :=
+    # the UPDATED cell values; p snapshot is the pre-cond refresh
     T2, p2, RH2, eta2 = _Tpr(cfg, th_c, rv_c, d.rhod, d.p)
     d = dataclasses.replace(
         d, rw2=rw2, T=T2, p=p2, RH=RH2, eta=eta2,
@@ -1220,7 +1282,7 @@ def rebin_block_rows(cfg: StaticConfig, limit: int = 256):
 
 def step_fused(cfg: StaticConfig, d: DenseState, th_adv, rv_adv, params, dt,
                RH_max, sstp_coal: int, do_coal: bool,
-               do_sedi: bool):
+               do_sedi: bool, mp=None):
     """The whole microphysics step — condensation substeps, coalescence
     substeps, advection/sedimentation/walls, and the z phase of the
     re-binning — as ONE resident Pallas kernel (ops/pallas_step), the x
@@ -1235,7 +1297,7 @@ def step_fused(cfg: StaticConfig, d: DenseState, th_adv, rv_adv, params, dt,
     return _resident_phases(
         cfg, d, th_adv, rv_adv, params, dt, RH_max, sstp_coal,
         do_cond=True, do_coal=do_coal, do_adve=True, do_sedi=do_sedi,
-        do_subs=False, w_LS=None)
+        do_subs=False, w_LS=None, mp=mp)
 
 
 def step_fused_shard(cfg: StaticConfig, d: DenseState, th_adv, rv_adv,
@@ -1358,10 +1420,25 @@ def step_async_resident(cfg: StaticConfig, d: DenseState, params, dt,
     return d
 
 
+def _mp_apply(mp, cfg, d, th, rv):
+    """Append the next step's MPDATA-advected (th, rv) to a resident-phase
+    result: fused into the x-merge kernel on the fast path (see
+    _resident_phases_impl), computed as the plain two-field kernel on
+    every other path.  With mp=None this is the identity 3-tuple."""
+    if mp is None:
+        return d, th, rv
+    from ..models import mpdata as mpdata_mod
+    gc_x, gc_z, G, n_iters, fct = mp
+    tha, rva = mpdata_mod.advect2(
+        th.reshape(cfg.nx, cfg.nz), rv.reshape(cfg.nx, cfg.nz),
+        gc_x, gc_z, G, n_iters=int(n_iters), fct=bool(fct))
+    return d, th, rv, tha, rva
+
+
 def _resident_phases(cfg: StaticConfig, d: DenseState, th_adv, rv_adv,
                      params, dt, RH_max, sstp_coal: int, *, do_cond: bool,
                      do_coal: bool, do_adve: bool, do_sedi: bool,
-                     do_subs: bool, w_LS):
+                     do_subs: bool, w_LS, mp=None):
     """Shared dispatcher behind step_fused / step_cond_resident /
     step_async_resident: one step_resident pallas_call with the phase
     flags, plus the XLA-side tail (puddle fold, rebin_x, far-mover
@@ -1375,14 +1452,15 @@ def _resident_phases(cfg: StaticConfig, d: DenseState, th_adv, rv_adv,
         # PRNG does not, so coal is routed through the XLA path below
         from jax.experimental.pallas import tpu as pltpu
         with pltpu.force_tpu_interpret_mode():
-            return _resident_phases_interp(
+            out = _resident_phases_interp(
                 cfg, d, th_adv, rv_adv, params, dt, RH_max, sstp_coal,
                 do_cond=do_cond, do_coal=do_coal, do_adve=do_adve,
                 do_sedi=do_sedi, do_subs=do_subs, w_LS=w_LS)
+        return _mp_apply(mp, cfg, *out)
     return _resident_phases_impl(
         cfg, d, th_adv, rv_adv, params, dt, RH_max, sstp_coal,
         do_cond=do_cond, do_coal=do_coal, do_adve=do_adve,
-        do_sedi=do_sedi, do_subs=do_subs, w_LS=w_LS)
+        do_sedi=do_sedi, do_subs=do_subs, w_LS=w_LS, mp=mp)
 
 
 def _resident_phases_interp(cfg, d, th_adv, rv_adv, params, dt, RH_max,
@@ -1412,7 +1490,7 @@ def _resident_phases_interp(cfg, d, th_adv, rv_adv, params, dt, RH_max,
 
 def _resident_phases_impl(cfg, d, th_adv, rv_adv, params, dt, RH_max,
                           sstp_coal, *, do_cond, do_coal, do_adve,
-                          do_sedi, do_subs, w_LS):
+                          do_sedi, do_subs, w_LS, mp=None):
     import os
     from ..ops.pallas_step import rebin_x, step_resident
     from .state import OUT_DRY_VOL, OUT_LIQ_NUM, OUT_LIQ_VOL, OUT_PRTCL_NUM
@@ -1471,7 +1549,7 @@ def _resident_phases_impl(cfg, d, th_adv, rv_adv, params, dt, RH_max,
             d, n=n, rw2=rw2, rd3=rd3, kpa=kpa, x=x, z=z,
             T=T, p=p, RH=RH, eta=eta,
             sstp_tmp_th=th, sstp_tmp_rv=rv, key=key)
-        return d, th, rv
+        return _mp_apply(mp, cfg, d, th, rv)
 
     puddle = d.puddle
     pud = pud.astype(puddle.dtype)
@@ -1486,7 +1564,7 @@ def _resident_phases_impl(cfg, d, th_adv, rv_adv, params, dt, RH_max,
             T=T, p=p, RH=RH, eta=eta,
             sstp_tmp_th=th, sstp_tmp_rv=rv,
             key=key, puddle=puddle)
-        return rebin(cfg, d), th, rv
+        return _mp_apply(mp, cfg, rebin(cfg, d), th, rv)
 
     # far movers / window overflows are rare (sedi > dz per dt, or > cap/2
     # of a row's SDs crossing the same face): flush any pending x merge,
@@ -1514,10 +1592,21 @@ def _resident_phases_impl(cfg, d, th_adv, rv_adv, params, dt, RH_max,
             key=key, puddle=puddle, xkey=xkey,
             overflow=d.overflow + pud[5].astype(d.overflow.dtype))
         d = jax.lax.cond(pud[4] > 0, fix, lambda dd: dd, d)
-        return d, th, rv
+        return _mp_apply(mp, cfg, d, th, rv)
 
-    n, rw2, rd3, kpa, vt, x, z, drops_x = rebin_x(
-        cfg, n, rw2, rd3, kpa, vt, x, z, xkey, block_rows=block_rows)
+    mp_kw = {}
+    if mp is not None:
+        # the NEXT step's MPDATA rides this dispatch (grid-step-0
+        # epilogue in the x-merge kernel) — see rebin_x
+        gc_x, gc_z, G, n_iters, fct = mp
+        mp_kw = dict(
+            mpdata_fields=(th.reshape(cfg.nx, cfg.nz),
+                           rv.reshape(cfg.nx, cfg.nz), gc_x, gc_z, G),
+            mp_iters=int(n_iters), mp_fct=bool(fct))
+    out = rebin_x(
+        cfg, n, rw2, rd3, kpa, vt, x, z, xkey, block_rows=block_rows,
+        **mp_kw)
+    n, rw2, rd3, kpa, vt, x, z, drops_x = out[:8]
     d = dataclasses.replace(
         d, n=n, rw2=rw2, rd3=rd3, kpa=kpa, vt=vt, x=x, z=z,
         T=T, p=p, RH=RH, eta=eta,
@@ -1525,6 +1614,8 @@ def _resident_phases_impl(cfg, d, th_adv, rv_adv, params, dt, RH_max,
         key=key, puddle=puddle,
         overflow=d.overflow + (pud[5] + drops_x).astype(d.overflow.dtype))
     d = jax.lax.cond(pud[4] > 0, fix, lambda dd: dd, d)
+    if mp is not None:
+        return (d, th, rv) + tuple(out[8:])
     return d, th, rv
 
 

@@ -576,20 +576,40 @@ class Kinematic2D:
         # runs (re-packs of an evolved population) and the kernel's bitonic
         # network silently mis-sorts at non-power-of-two widths (the
         # round-4 rep-1 overflow bug).
+        # LIBCLOUD_MPDATA_FUSE=1 rides the next step's MPDATA as a
+        # grid-step-0 epilogue of the x-merge kernel (rebin_x) — measured
+        # NEUTRAL (11.33 vs 11.16 ms/step, PERF_r05): XLA already
+        # pipelines the standalone advect2 dispatch behind the host loop,
+        # so there is no idle to reclaim.  Kept for A/B.
+        fuse_mp = os.environ.get("LIBCLOUD_MPDATA_FUSE", "0") == "1"
+
         def resident_f(carry):
-            d, th, rv = carry
-            th, rv = mpdata.advect2(th, rv, gc_x, gc_z, G,
-                                    n_iters=n_iters, fct=fct)
-            d, thc, rvc = dense_mod.step_fused(
-                cfg, d, th.reshape(-1), rv.reshape(-1), params, dt,
-                RH_max, int(oi.sstp_coal), do_coal, do_sedi)
-            return (d, thc.reshape(nx, nz), rvc.reshape(nx, nz))
+            # 5-carry: (state, th, rv, th_adv, rv_adv); in fused mode the
+            # advected pair came from the PREVIOUS step's x-merge kernel,
+            # otherwise it is computed here and the trailing slots ride
+            # along unread (the carry structure must stay fixed for the
+            # scan variant)
+            d, th, rv, tha, rva = carry
+            if fuse_mp:
+                d, thc, rvc, tha2, rva2 = dense_mod.step_fused(
+                    cfg, d, tha.reshape(-1), rva.reshape(-1), params, dt,
+                    RH_max, int(oi.sstp_coal), do_coal, do_sedi,
+                    mp=(gc_x, gc_z, G, n_iters, fct))
+            else:
+                tha2, rva2 = mpdata.advect2(th, rv, gc_x, gc_z, G,
+                                            n_iters=n_iters, fct=fct)
+                d, thc, rvc = dense_mod.step_fused(
+                    cfg, d, tha2.reshape(-1), rva2.reshape(-1), params,
+                    dt, RH_max, int(oi.sstp_coal), do_coal, do_sedi)
+            return (d, thc.reshape(nx, nz), rvc.reshape(nx, nz),
+                    tha2, rva2)
 
         if not split_coal:
             def f(carry):
-                d, th, rv = carry
+                d = carry[0]
                 if dense_mod.resident_ok(cfg, d):  # static per trace
                     return resident_f(carry)
+                d, th, rv = carry[:3]
                 th, rv = mpdata.advect2(th, rv, gc_x, gc_z, G,
                                         n_iters=n_iters, fct=fct)
                 d, thc, rvc = dense_mod.step_cond(
@@ -597,7 +617,18 @@ class Kinematic2D:
                 d = dense_mod.step_async(cfg, d, params, dt,
                                          int(oi.sstp_coal), do_coal,
                                          do_sedi)
-                return (d, thc.reshape(nx, nz), rvc.reshape(nx, nz))
+                # tha/rva pass through unread (carry structure must stay
+                # fixed for the scan variant); the runner prologue
+                # recomputes them per chunk
+                return (d, thc.reshape(nx, nz), rvc.reshape(nx, nz)
+                        ) + tuple(carry[3:])
+
+            def prologue(carry):
+                d, th, rv = carry[:3]
+                tha, rva = mpdata.advect2(th, rv, gc_x, gc_z, G,
+                                          n_iters=n_iters, fct=fct)
+                return (d, th, rv, tha, rva)
+            f.prologue = prologue
             return f
 
         @jax.jit
@@ -645,8 +676,10 @@ class Kinematic2D:
             if key not in cache:
                 f = (self._lgrngn_step_fn_dense(sp) if engine == "dense"
                      else self._lgrngn_step_fn(sp))
+                pro = getattr(f, "prologue", lambda c: c)
                 cache[key] = jax.jit(lambda c: jax.lax.scan(
-                    lambda carry, _: (f(carry), None), c, None, length=n)[0])
+                    lambda carry, _: (f(carry), None), pro(c), None,
+                    length=n)[0])
             return cache[key]
         key = (sp, engine)
         if key not in cache:
@@ -654,10 +687,16 @@ class Kinematic2D:
                  else self._lgrngn_step_fn(sp))
             # a step composed of pre-jitted pieces around a standalone
             # Pallas dispatch must not be re-wrapped
-            cache[key] = f if getattr(f, "_nojit", False) else jax.jit(f)
-        fj = cache[key]
+            fj = f if getattr(f, "_nojit", False) else jax.jit(f)
+            pro = getattr(f, "prologue", None)
+            cache[key] = (fj, jax.jit(pro) if pro else None)
+        fj, pro_j = cache[key]
 
         def run(c):
+            # prologue widens the carry with the advected fields once per
+            # chunk (the fused loop then carries them step to step)
+            if pro_j is not None:
+                c = pro_j(c)
             for _ in range(n):
                 c = fj(c)
             return c
@@ -783,7 +822,10 @@ class Kinematic2D:
                             spinup=sp, steps=k, occ=occ,
                             cap=int(carry[0].cap),
                             seconds=_time.perf_counter() - t_chunk))
-        state, th, rv = carry
+        # the dense resident path carries (state, th, rv, th_adv, rv_adv);
+        # the advected pair is a pure function of (th, rv) and is simply
+        # recomputed by the next chunk's prologue
+        state, th, rv = carry[:3]
         if engine == "dense":
             if state.xkey.size:
                 state = jax.jit(

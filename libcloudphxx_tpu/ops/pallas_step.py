@@ -692,13 +692,18 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
 # step_resident's epilogue (the xkey plane), so this kernel is one merge +
 # one bitonic compaction, reading a [left | centre | right] block window
 # through three index maps.
-def _xmerge_kernel(cfg, block_rows,
-                   n_l, n_c, n_r, rw2_l, rw2_c, rw2_r,
-                   rd3_l, rd3_c, rd3_r, kpa_l, kpa_c, kpa_r,
-                   vt_l, vt_c, vt_r, x_l, x_c, x_r, z_l, z_c, z_r,
-                   k_l, k_c, k_r,
-                   n_out, rw2_out, rd3_out, kpa_out, vt_out, x_out, z_out,
-                   flags_out):
+def _xmerge_kernel(cfg, block_rows, mp_iters, mp_fct, *refs):
+    (n_l, n_c, n_r, rw2_l, rw2_c, rw2_r,
+     rd3_l, rd3_c, rd3_r, kpa_l, kpa_c, kpa_r,
+     vt_l, vt_c, vt_r, x_l, x_c, x_r, z_l, z_c, z_r,
+     k_l, k_c, k_r) = refs[:24]
+    pos = 24
+    if mp_iters:
+        th_ref, rv_ref, gcx_ref, gcz_ref, G_ref = refs[pos:pos + 5]
+        pos += 5
+    (n_out, rw2_out, rd3_out, kpa_out, vt_out, x_out, z_out,
+     flags_out) = refs[pos:pos + 8]
+    pos += 8
     planes_lcr = [(l[:], c[:], r[:]) for (l, c, r) in
                   ((n_l, n_c, n_r), (rw2_l, rw2_c, rw2_r),
                    (rd3_l, rd3_c, rd3_r), (kpa_l, kpa_c, kpa_r),
@@ -711,17 +716,42 @@ def _xmerge_kernel(cfg, block_rows,
     lane3 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 2)
     sub3 = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
     flags_out[:] = jnp.where((sub3 == 0) & (lane3 == 0), drops, 0.0)
+    if mp_iters:
+        # the NEXT step's Eulerian MPDATA advection of (th, rv), computed
+        # once in grid step 0 — an independent whole-grid epilogue that
+        # rides this dispatch instead of paying its own ~0.85 ms kernel
+        # floor (PERF_r05).  The r4 in-MAIN-kernel fusion stays blocked
+        # on the (nx, nz) -> (n_cell, 1) reshape; here the result is a
+        # standalone output, so no reshape is needed.
+        tha_ref, rva_ref = refs[pos:pos + 2]
+        from ..models.mpdata import _advect_body
+
+        @pl.when(pl.program_id(0) == 0)
+        def _():
+            Gv = G_ref[:]
+            gcx, gcz = gcx_ref[:], gcz_ref[:]
+            tha_ref[:] = _advect_body(th_ref[:], gcx, gcz, Gv,
+                                      mp_iters, mp_fct)
+            rva_ref[:] = _advect_body(rv_ref[:], gcx, gcz, Gv,
+                                      mp_iters, mp_fct)
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "block_rows", "interpret"),
+    static_argnames=("cfg", "block_rows", "interpret", "mp_iters",
+                     "mp_fct"),
 )
 def rebin_x(cfg, n, rw2, rd3, kpa, vt, x, z, xkey,
-            *, block_rows, interpret=False):
+            *, block_rows, interpret=False, mpdata_fields=None,
+            mp_iters=0, mp_fct=False):
     """The x pass of the in-kernel re-binning (see _xmerge_kernel).
 
-    Returns (n, rw2, rd3, kpa, vt, x, z, drops)."""
+    With ``mpdata_fields`` = (th, rv, gc_x, gc_z, G) and ``mp_iters`` > 0
+    the kernel ALSO advects the two scalars (the next model step's MPDATA,
+    models/mpdata._advect_body) as a grid-step-0 epilogue, saving one
+    whole-grid dispatch per step.
+
+    Returns (n, rw2, rd3, kpa, vt, x, z, drops[, th_adv, rv_adv])."""
     n_cell, cap = n.shape
     if cap & (cap - 1):
         raise ValueError(f"rebin_x: cap must be a power of two, got {cap}")
@@ -729,6 +759,8 @@ def rebin_x(cfg, n, rw2, rd3, kpa, vt, x, z, xkey,
         raise ValueError(
             f"rebin_x: block_rows ({block_rows}) must be a multiple of nz "
             f"({cfg.nz}) dividing n_cell ({n_cell})")
+    if (mpdata_fields is not None) != (mp_iters > 0):
+        raise ValueError("rebin_x: mpdata_fields and mp_iters go together")
     nblk = n_cell // block_rows
 
     spec_c = pl.BlockSpec((block_rows, cap), lambda i: (i, 0),
@@ -741,21 +773,33 @@ def rebin_x(cfg, n, rw2, rd3, kpa, vt, x, z, xkey,
                           memory_space=pltpu.VMEM)
     pspec = pl.BlockSpec((1, 8, 128), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)  # whole array
 
     arrays = []
     for a in (n, rw2, rd3, kpa, vt, x, z, xkey):
         a = a.astype(jnp.float32)
         arrays += [a, a, a]
+    mp_args, mp_in_specs, mp_out_shapes, mp_out_specs = (), [], [], []
+    if mp_iters:
+        th2, rv2, gcx, gcz, G = mpdata_fields
+        G = jnp.broadcast_to(jnp.asarray(G, th2.dtype), th2.shape)
+        mp_args = tuple(jnp.asarray(a, jnp.float32)
+                        for a in (th2, rv2, gcx, gcz, G))
+        mp_in_specs = [wspec] * 5
+        mp_out_shapes = [jax.ShapeDtypeStruct(th2.shape, jnp.float32)] * 2
+        mp_out_specs = [wspec] * 2
     sd_shape = jax.ShapeDtypeStruct((n_cell, cap), jnp.float32)
     outs = pl.pallas_call(
-        functools.partial(_xmerge_kernel, cfg, block_rows),
+        functools.partial(_xmerge_kernel, cfg, block_rows, mp_iters,
+                          mp_fct),
         grid=(nblk,),
         out_shape=tuple([sd_shape] * 7
                         + [jax.ShapeDtypeStruct((nblk, 8, 128),
-                                                jnp.float32)]),
-        in_specs=[spec_l, spec_c, spec_r] * 8,
-        out_specs=tuple([spec_c] * 7 + [pspec]),
+                                                jnp.float32)]
+                        + mp_out_shapes),
+        in_specs=[spec_l, spec_c, spec_r] * 8 + mp_in_specs,
+        out_specs=tuple([spec_c] * 7 + [pspec] + mp_out_specs),
         interpret=interpret,
-    )(*arrays)
+    )(*arrays, *mp_args)
     drops = jnp.sum(outs[7][:, 0, 0])
-    return outs[:7] + (drops,)
+    return outs[:7] + (drops,) + tuple(outs[8:])

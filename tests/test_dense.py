@@ -312,6 +312,66 @@ def test_cond_exact_matches_flat_engine(mix):
     np.testing.assert_allclose(ref2, got2, rtol=1e-12)
 
 
+def test_cond_adaptive_matches_flat_engine():
+    """Adaptive per-SD substepping on the dense layout vs the flat
+    cond_perparticle_adaptive at f64 — the dense engine feeds raveled
+    planes through the SAME perparticle_adaptive_core, so parity must be
+    exact up to the layout-specific reductions."""
+    m = _model(sstp_cond=4, opts_init_kw=dict(
+        exact_sstp_cond=True, adaptive_sstp_cond=True, sstp_cond_act=8))
+    p = m.prtcls
+    cfg = p.cfg
+    st = p.state
+    assert cfg.adaptive_sstp_cond
+    dt = m.setup.dt
+    cap = m.dense_capacity()
+
+    key = jax.random.PRNGKey(11)
+    th_new = st.th * (1.0 + 1e-4 * jax.random.normal(key, st.th.shape))
+    rv_new = st.rv * (1.0 + 1e-3 * jax.random.uniform(key, st.rv.shape))
+
+    flat = _step_cond_jit(
+        cfg, dataclasses.replace(st, th=th_new, rv=rv_new),
+        dt, 44.0, False, False, True)
+
+    d = dense_mod.pack(cfg, st, cap)
+    d2, th_d, rv_d = dense_mod.step_cond(cfg, d, th_new, rv_new, dt, 44.0)
+
+    np.testing.assert_allclose(np.asarray(th_d), np.asarray(flat.th),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(rv_d), np.asarray(flat.rv),
+                               rtol=1e-9)
+    ref = _alive_multiset(flat.n, flat.ijk, flat.rw2, flat.sstp_tmp_rv)
+    got = _dense_multiset(d2, cfg, "rw2", "sd_rv")
+    np.testing.assert_allclose(ref, got, rtol=1e-12)
+
+
+def test_adaptive_full_run_matches_flat_no_coal():
+    """Multi-step adaptive run (cond + transport + re-binning, no
+    coalescence) dense vs flat."""
+    m = _model(nx=10, nz=10, sd_conc=16, sstp_cond=4,
+               opts_init_kw=dict(exact_sstp_cond=True,
+                                 adaptive_sstp_cond=True,
+                                 coal_switch=False))
+    mf = _model(nx=10, nz=10, sd_conc=16, sstp_cond=4,
+                opts_init_kw=dict(exact_sstp_cond=True,
+                                  adaptive_sstp_cond=True,
+                                  coal_switch=False))
+    mf.run_device_lgrngn(5, engine="flat")
+    m.run_device_lgrngn(5, engine="dense")
+
+    st_f, st_d = mf.prtcls.state, m.prtcls.state
+    np.testing.assert_allclose(np.asarray(m.th), np.asarray(mf.th),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(m.rv), np.asarray(mf.rv),
+                               rtol=1e-8)
+    ref = _alive_multiset(st_f.n, st_f.ijk, st_f.rw2, st_f.x, st_f.z,
+                          st_f.sstp_tmp_th)
+    got = _alive_multiset(st_d.n, st_d.ijk, st_d.rw2, st_d.x, st_d.z,
+                          st_d.sstp_tmp_th)
+    np.testing.assert_allclose(ref, got, rtol=1e-10)
+
+
 def test_exact_full_run_matches_flat_no_coal():
     """Multi-step exact-substepping run (cond + transport + re-binning,
     no coalescence) dense vs flat — the moved-SD snapshots must ride the

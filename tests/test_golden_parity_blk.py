@@ -89,3 +89,12 @@ def test_blk_2m_t9000(blk_2m_run):
 def test_blk_2m_t9000_rc(blk_2m_run):
     r = blk_2m_run[9000]
     assert r["rc"]["max_abs"] <= 4.5e-6, r["rc"]
+
+
+def test_blk_2m_t9000_rc_bounded(blk_2m_run):
+    """The non-xfail rc bound: ~1% of the in-cloud peak, the formulation
+    floor of the published MPDATA scheme family (docs/BLK2M_RC.md — the
+    strict 4.5e-6 reference gate above stays xfail; this asserts the
+    residual cannot silently grow past the documented bound)."""
+    r = blk_2m_run[9000]
+    assert r["rc"]["max_abs"] <= 1e-5, r["rc"]

@@ -135,8 +135,93 @@ def test_kernel_golovin_spectrum():
     assert err < 3.5e-5, err
 
 
+def _golovin_population():
+    rng = np.random.default_rng(7)
+    lnr_lo, lnr_hi = np.log(R_ZERO / 30), np.log(R_ZERO * 12)
+    strata = (np.arange(SD_CONC)[None, :]
+              + rng.random((N_BOX, SD_CONC))) / SD_CONC
+    lnrd = lnr_lo + strata * (lnr_hi - lnr_lo)
+    mult = np.floor(expvolumelnr(lnrd) * (lnr_hi - lnr_lo) / SD_CONC + 0.5)
+    rw = np.exp(lnrd)
+    n = np.zeros((N_BOX, CAP)); n[:, :SD_CONC] = mult
+    rw2 = np.zeros((N_BOX, CAP)); rw2[:, :SD_CONC] = rw**2
+    rd3 = np.zeros((N_BOX, CAP)); rd3[:, :SD_CONC] = (rw * 1e-3) ** 3
+    return n, rw2, rd3
+
+
+def _spectrum_err(n, rw2, n1, rw2_1):
+    n0_conc = n[:, :SD_CONC].sum() / N_BOX
+    spec = np.array([
+        _mass_dens(n1, rw2_1, (BINS[i] + BINS[i + 1]) / 2)
+        for i in range(BINS.size - 1)])
+    ana = np.array([
+        golovin_analytic(spherevol((BINS[i] + BINS[i + 1]) / 2),
+                         SIM_TIME, n0_conc, V_ZERO, B_GOLOVIN)
+        * spherevol((BINS[i] + BINS[i + 1]) / 2) ** 2 * 3000.0
+        for i in range(BINS.size - 1)])
+    mask = (spec > 0) | (ana > 0)
+    return float(np.sqrt(np.mean((spec[mask] - ana[mask]) ** 2)))
+
+
+def test_resident_stride_golovin_spectrum(artifact_path=None):
+    """The PRODUCTION coalescence path — step_resident's stride-pairing
+    substep loop with the on-core PRNG — against the analytic Golovin
+    spectrum on hardware.  Same population/gates as the sort-pairing
+    kernel test above."""
+    from libcloudphxx_tpu.ops.pallas_step import step_resident
+
+    n, rw2, rd3 = _golovin_population()
+    kpa = np.where(n > 0, 1e-10, 0.0)
+    f32 = lambda a: jnp.asarray(a, jnp.float32)
+
+    oi = lgrngn.opts_init_t()
+    oi.dt = SIM_TIME
+    oi.n_sd_max = N_BOX * CAP
+    oi.kernel = lgrngn.kernel_t.golovin
+    oi.kernel_parameters = [B_GOLOVIN]
+    oi.terminal_velocity = lgrngn.vt_t.beard77
+    cfg = StaticConfig.from_opts_init(oi)
+
+    ones = jnp.ones(N_BOX, jnp.float32)
+    zeros = jnp.zeros(N_BOX, jnp.float32)
+    th0 = ones * 300.0
+    rv0 = ones * 0.01
+    outs = step_resident(
+        cfg, 1, 100, SIM_TIME, 44.0, True, False, False,
+        1234, jnp.asarray([B_GOLOVIN], jnp.float32),
+        f32(n), f32(rw2), f32(rd3), f32(kpa), f32(n * 0), f32(n * 0),
+        th0, rv0, th0, rv0, ones, ones, ones * 1e-7, ones * 1e-7,
+        zeros, zeros, zeros, zeros, zeros, None,
+        do_cond=False, do_adve=False, do_rebin=False,
+        coal_pairing="stride")
+    n1 = np.float64(np.asarray(outs[0]))
+    rw2_1 = np.float64(np.asarray(outs[1]))
+
+    m3_0 = (n * rw2**1.5).sum()
+    m3_1 = (n1 * rw2_1**1.5).sum()
+    assert m3_1 == pytest.approx(m3_0, rel=5e-5)
+    assert n1.sum() < 0.6 * n.sum()
+    err = _spectrum_err(n, rw2, n1, rw2_1)
+    assert err < 3.5e-5, err
+    if artifact_path:
+        import json
+        with open(artifact_path, "w") as f:
+            json.dump({
+                "test": "resident stride-pairing Golovin, on-TPU",
+                "rmsd": err, "gate": 3.5e-5,
+                "sort_pairing_r4_rmsd": 2.66e-5,
+                "n_boxes": N_BOX, "sd_conc": SD_CONC, "cap": CAP,
+                "sstp_coal": 100, "sim_time_s": SIM_TIME,
+                "water_mass_rel_err": abs(m3_1 - m3_0) / m3_0,
+            }, f, indent=1)
+    return err
+
+
 if __name__ == "__main__":
     # direct TPU invocation (the pytest conftest pins the suite to CPU):
-    #   python tests/test_pallas_coal_golovin.py
+    #   python tests/test_pallas_coal_golovin.py [artifact.json]
+    import sys
     test_kernel_golovin_spectrum()
-    print("GOLOVIN KERNEL GATE PASS")
+    err = test_resident_stride_golovin_spectrum(
+        sys.argv[1] if len(sys.argv) > 1 else None)
+    print(f"GOLOVIN KERNEL GATES PASS (stride RMSD {err:.3e})")

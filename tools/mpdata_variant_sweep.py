@@ -45,7 +45,10 @@ def main():
         tag = ",".join(f"{k.split('_')[-1]}={v}"
                        for k, v in env.items()) or "default"
         print(f"{tag:20s}  {line}", flush=True)
-    # iteration-count sensitivity diagnostic
+    # iteration-count sensitivity diagnostic (default knobs restored —
+    # the variants loop above leaves its last env set otherwise)
+    for k in knobs:
+        os.environ.pop(k, None)
     for n_it in (2, 3):
         jax.clear_caches()
         import libcloudphxx_tpu.models.kinematic_2d as K
