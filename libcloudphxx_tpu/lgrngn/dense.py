@@ -1213,7 +1213,8 @@ def resident_static_ok(cfg: StaticConfig):
     (Kinematic2D.run_device_lgrngn admissible_cap) uses this to decide
     whether capacities must stay powers of two."""
     kern = kernel_t(cfg.kernel)
-    if kern not in (kernel_t.golovin, kernel_t.geometric, kernel_t.long):
+    if cfg.coal_switch and kern not in (
+            kernel_t.golovin, kernel_t.geometric, kernel_t.long):
         # tabulated-efficiency kernels run in-kernel when the table clamps
         # into one 128x128 VMEM block (the hall family — reference
         # kernels.hpp:179-207; vohl saturates at index 150 and stays on
@@ -1224,20 +1225,16 @@ def resident_static_ok(cfg: StaticConfig):
             return False
         if coal_mod.clamped_efficiency_table(kern) is None:
             return False
-    if cfg.pure_const_multi:
-        return False
     # the kernel implements the percell substepping only; ANY exact-mode
     # config carries per-SD ambient planes that the in-kernel re-binning
     # does not ride (even at sstp_cond == 1, where cond dispatches
     # percell) — XLA dense pipeline for all of it (ADVICE r4)
     if cfg.exact_sstp_cond:
         return False
-    # the kernel implements the 2-D th_dry/variable-p closure and
-    # implicit/euler advection; 3-D, const_p/th_std and pred_corr run the
-    # XLA dense pipeline
+    # the kernel implements the 2-D closures (th_dry/variable-p AND
+    # th_std/const_p — the p0 plane rides as a cell input) and
+    # implicit/euler advection; 3-D and pred_corr run the XLA pipeline
     if cfg.n_dims != 2:
-        return False
-    if not cfg.th_dry or cfg.const_p:
         return False
     if as_t(cfg.adve_scheme) not in (as_t.implicit, as_t.euler):
         return False
@@ -1368,8 +1365,8 @@ def _shard_phase(cfg, d, th_adv, rv_adv, params, dt, RH_max, sstp_coal, *,
         bool(do_coal), bool(do_sedi), False, seed, params,
         d.n, d.rw2, d.rd3, d.kpa, d.x, d.z,
         th_adv, rv_adv, d.sstp_tmp_th, d.sstp_tmp_rv, d.rhod, d.dv,
-        lam_D, lam_K, C_l, C_r, C_b, C_a, w_cells, None,
-        do_cond=bool(do_cond), do_adve=bool(do_adve),
+        lam_D, lam_K, C_l, C_r, C_b, C_a, w_cells, p0_cells=d.p,
+        xkey=None, do_cond=bool(do_cond), do_adve=bool(do_adve),
         do_rebin=False, x_wrap=False, interpret=interpret,
         coal_pairing=_coal_pairing(), **eff_kw)
 
@@ -1385,6 +1382,12 @@ def _shard_phase(cfg, d, th_adv, rv_adv, params, dt, RH_max, sstp_coal, *,
     puddle = puddle.at[OUT_DRY_VOL].add(pud[1])
     puddle = puddle.at[OUT_LIQ_NUM].add(pud[2])
     puddle = puddle.at[OUT_PRTCL_NUM].add(pud[3])
+    if do_coal and cfg.pure_const_multi:
+        # adaptive sstp_coal growth request from the in-kernel loop
+        # (coal.ipp:224-227); lane 6 sums the per-block flags
+        from .state import OUT_COAL_OVERFLOW
+        puddle = puddle.at[OUT_COAL_OVERFLOW].max(
+            (pud[6] > 0).astype(puddle.dtype))
     return dataclasses.replace(
         d, n=n, rw2=rw2, rd3=rd3, kpa=kpa, vt=vt, x=x, z=z,
         T=T, p=p, RH=RH, eta=eta,
@@ -1535,8 +1538,8 @@ def _resident_phases_impl(cfg, d, th_adv, rv_adv, params, dt, RH_max,
         bool(do_coal), bool(do_sedi), bool(do_subs), seed, params,
         d.n, d.rw2, d.rd3, d.kpa, d.x, d.z,
         th_adv, rv_adv, d.sstp_tmp_th, d.sstp_tmp_rv, d.rhod, d.dv,
-        lam_D, lam_K, C_l, C_r, C_b, C_a, w_cells,
-        d.xkey if deferred else None,
+        lam_D, lam_K, C_l, C_r, C_b, C_a, w_cells, p0_cells=d.p,
+        xkey=d.xkey if deferred else None,
         do_cond=bool(do_cond), do_adve=bool(do_adve),
         block_rows=block_rows, do_rebin=kernel_rebin,
         coal_pairing=_coal_pairing(), **eff_kw)
@@ -1557,6 +1560,12 @@ def _resident_phases_impl(cfg, d, th_adv, rv_adv, params, dt, RH_max,
     puddle = puddle.at[OUT_DRY_VOL].add(pud[1])
     puddle = puddle.at[OUT_LIQ_NUM].add(pud[2])
     puddle = puddle.at[OUT_PRTCL_NUM].add(pud[3])
+    if do_coal and cfg.pure_const_multi:
+        # adaptive sstp_coal growth request from the in-kernel loop
+        # (coal.ipp:224-227); lane 6 sums the per-block flags
+        from .state import OUT_COAL_OVERFLOW
+        puddle = puddle.at[OUT_COAL_OVERFLOW].max(
+            (pud[6] > 0).astype(puddle.dtype))
 
     if not kernel_rebin:
         d = dataclasses.replace(

@@ -790,12 +790,34 @@ class Kinematic2D:
         phases = [(min(spinup, nt), True), (max(0, nt - spinup), False)]
         for n, sp in phases:
             done = 0
+            redo = 0
             while done < n:
                 if repack_jit is not None:
                     t_chunk = _time.perf_counter()
                 k = n - done if not repack_jit else min(repack_every,
                                                         n - done)
+                prev = carry
                 carry = self._lgrngn_runner(sp, k, engine)(carry)
+                if repack_jit is not None:
+                    # a rain cell can outgrow the 10%-headroom trigger
+                    # WITHIN a repack interval; the overflow counter is
+                    # loud, so redo the chunk from its start at the next
+                    # capacity instead of dropping SDs (correctness) or
+                    # carrying a permanent 2x cap (the old 1.25x trigger)
+                    ovf = float(carry[0].overflow) - float(
+                        prev[0].overflow)
+                    if ovf > 0:
+                        redo += 1
+                        if redo > 3:
+                            raise RuntimeError(
+                                f"dense engine: row overflow persists "
+                                f"after {redo} capacity retargets")
+                        d0 = repack_jit(p.cfg, prev[0],
+                                        admissible_cap(int(
+                                            occ_jit(prev[0].n)) + 16))
+                        carry = (d0,) + prev[1:]
+                        continue
+                    redo = 0
                 done += k
                 steps_ahead = (n - done) + (nt - spinup if sp else 0)
                 if repack_jit is not None and steps_ahead > 0:

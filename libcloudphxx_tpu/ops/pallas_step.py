@@ -46,8 +46,8 @@ from .pallas_compact import stable_partition_rows
 
 # input layout bookkeeping
 _SD_PLANES = 6          # n, rw2, rd3, kpa, x, z
-_CELL_VECS = 15         # thadv rvadv th0 rv0 rhod dv lamD lamK Cl Cr Cb Ca
-#                         i_row k_row w_LS
+_CELL_VECS = 16         # thadv rvadv th0 rv0 rhod dv lamD lamK Cl Cr Cb Ca
+#                         i_row k_row w_LS p0
 
 
 def _xmerge_values(nz, q, keys_lcr, planes_lcr):
@@ -131,13 +131,13 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
         pos += 6
     (thadv_ref, rvadv_ref, th0_ref, rv0_ref, rhod_ref, dv_ref,
      lamD_ref, lamK_ref, cl_ref, cr_ref, cb_ref, ca_ref,
-     irow_ref, krow_ref, wls_ref) = refs[pos:pos + 15]
-    pos += 15
+     irow_ref, krow_ref, wls_ref, p0_ref) = refs[pos:pos + 16]
+    pos += 16
     (n_out, rw2_out, rd3_out, kpa_out, vt_out, x_out, z_out,
      xkey_out, th_out, rv_out, T_out, p_out, RH_out, eta_out,
      puddle_out) = refs[pos:pos + 15]
     from ..common import constants as c
-    from ..common import theta_dry
+    from ..common import theta_dry, theta_std
     from ..common import vterm as cv
     from ..common.fastmath import cbrt_pos
     from ..lgrngn import hskpng
@@ -145,12 +145,28 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
     from ..lgrngn.dense import pair_and_collide
     from ..lgrngn.enums import as_t
 
+    p0 = p0_ref[:]
+
+    def closure(th, rv, rhod):
+        # per-cell T/p/RH/eta (dense._Tpr, hskpng_Tpr.ipp:219-305):
+        # th_dry or th_std, variable or prescribed pressure — static
+        # branches on the config
+        if cfg.th_dry:
+            T = theta_dry.T(th, rhod)
+        else:
+            T = th * theta_std.exner(p0)
+        pp = p0 if cfg.const_p else theta_dry.p(rhod, rv, T)
+        RH = hskpng.RH_of(cfg, pp, rv, T)
+        eta = cv.visc(T)
+        return T, pp, RH, eta
+
     if do_coal:
         # PRNG used only by the coalescence shuffle; seeding is conditional
         # so the cond/transport-only variant stays CPU-interpretable
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     drops_x = jnp.float32(0.0)
+    coal_ovf = jnp.float32(0.0)
     if do_xmerge:
         # deferred x pass of the PREVIOUS step's re-binning: reconstruct
         # row-correct planes from the [left | centre | right] block window
@@ -190,19 +206,14 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
         # phase's end) and the CURRENT rw2 (transport does not change
         # rw2), so recomputing it here from (rw2, th0, rv0) reproduces the
         # stored plane exactly — saving one input plane.
-        T_prev = theta_dry.T(th0, rhod)
-        p_prev = theta_dry.p(rhod, rv0, T_prev)
-        eta_prev = cv.visc(T_prev)
+        T_prev, p_prev, _RH_prev, eta_prev = closure(th0, rv0, rhod)
         vt = _vt_in_kernel(cfg, rw2, T_prev, p_prev, rhod, eta_prev)
 
         def cond_sub(_, carry):
             rw2, th, rv = carry
             th = th + dth
             rv = rv + drv_adv
-            T = theta_dry.T(th, rhod)
-            p = theta_dry.p(rhod, rv, T)
-            RH = hskpng.RH_of(cfg, p, rv, T)
-            eta = cv.visc(T)
+            T, p, RH, eta = closure(th, rv, rhod)
             rw2n = _advance_rw2_core(
                 dt_sub_c, rw2, rd3, kpa, vt, rhod, rv, T, p, RH, eta,
                 lam_D, lam_K, jnp.float32(RH_max))
@@ -217,10 +228,7 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
             0, sstp_cond, cond_sub, (rw2, th0, rv0))
     else:
         th, rv = th0, rv0
-    T = theta_dry.T(th, rhod)
-    p = theta_dry.p(rhod, rv, T)
-    RH = hskpng.RH_of(cfg, p, rv, T)
-    eta = cv.visc(T)
+    T, p, RH, eta = closure(th, rv, rhod)
 
     # ---------------- coalescence substep loop ---------------------------
     if do_coal:
@@ -262,9 +270,9 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
 
             def coal_sub(i, carry):
                 sidx = jax.lax.rem(i, n_strides)
-                carry = jax.lax.cond(sidx == 0, shuffle,
-                                     lambda q: q, carry)
-                n, rw2, rd3, kpa, x, z = carry
+                planes = jax.lax.cond(sidx == 0, shuffle,
+                                      lambda q: q, carry[:6])
+                n, rw2, rd3, kpa, x, z = planes
                 vt = _vt_in_kernel(cfg, rw2, T, p, rhod, eta)
                 u01 = _u01(n.shape)
                 ride = (n, rw2, rd3, kpa, vt, u01)
@@ -281,10 +289,14 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
                     dv, rhod, eta, dt_sub, u01, pu01,
                     eff_table=eff_tbl, r_max_um=r_max_um, eff_fn=eff_fn,
                     cbrt_fn=lambda v: cbrt_pos(jnp.maximum(v, 1e-38)))
-                return (n, rw2, rd3, kpa, x, z)
+                ovf = jnp.maximum(carry[6],
+                                  jnp.where(_o, jnp.float32(1.0),
+                                            jnp.float32(0.0)))
+                return (n, rw2, rd3, kpa, x, z, ovf)
 
-            n, rw2, rd3, kpa, x, z = jax.lax.fori_loop(
-                0, sstp_coal, coal_sub, (n, rw2, rd3, kpa, x, z))
+            n, rw2, rd3, kpa, x, z, coal_ovf = jax.lax.fori_loop(
+                0, sstp_coal, coal_sub,
+                (n, rw2, rd3, kpa, x, z, jnp.float32(0.0)))
         else:
             # Reference-faithful per-substep shuffle.  Ride-thin: x and z
             # are not read by the pairing math, so a lane-id plane rides
@@ -297,7 +309,7 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
             # pairing (and hence physics) is bitwise identical to the
             # ride-everything loop.
             def coal_sub(_, carry):
-                n, rw2, rd3, kpa, idp = carry
+                n, rw2, rd3, kpa, idp, ovf = carry
                 u = _u01(n.shape)
                 skey = jnp.where(n > 0, u, 2.0)
                 _, (n, rw2, rd3, kpa, idp) = bitonic_sort_rows(
@@ -311,12 +323,15 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
                     dv, rhod, eta, dt_sub, u01,
                     eff_table=eff_tbl, r_max_um=r_max_um, eff_fn=eff_fn,
                     cbrt_fn=lambda v: cbrt_pos(jnp.maximum(v, 1e-38)))
-                return (n, rw2, rd3, kpa, idp)
+                ovf = jnp.maximum(ovf, jnp.where(_o, jnp.float32(1.0),
+                                                 jnp.float32(0.0)))
+                return (n, rw2, rd3, kpa, idp, ovf)
 
             id0 = jax.lax.broadcasted_iota(
                 jnp.int32, n.shape, 1).astype(jnp.float32)
-            n, rw2, rd3, kpa, idp = jax.lax.fori_loop(
-                0, sstp_coal, coal_sub, (n, rw2, rd3, kpa, id0))
+            n, rw2, rd3, kpa, idp, coal_ovf = jax.lax.fori_loop(
+                0, sstp_coal, coal_sub,
+                (n, rw2, rd3, kpa, id0, jnp.float32(0.0)))
             _, (n, rw2, rd3, kpa) = bitonic_sort_rows(
                 idp, (n, rw2, rd3, kpa))
 
@@ -508,7 +523,8 @@ def _kernel(cfg, sstp_cond, sstp_coal, dt, RH_max, do_cond, do_coal,
     sub = jax.lax.broadcasted_iota(jnp.int32, (1, 8, 128), 1)
     on = lambda i, v: jnp.where((sub == 0) & (lane == i), v, 0.0)
     puddle_out[:] = on(0, liq_vol) + on(1, dry_vol) \
-        + on(2, liq_num) + on(3, prt_num) + on(4, far_flag) + on(5, drops)
+        + on(2, liq_num) + on(3, prt_num) + on(4, far_flag) \
+        + on(5, drops) + on(6, coal_ovf)
 
 
 @functools.partial(
@@ -522,7 +538,8 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
                   do_subs, seed, params,
                   n, rw2, rd3, kpa, x, z,
                   thadv, rvadv, th0, rv0, rhod, dv, lam_D, lam_K,
-                  C_l, C_r, C_b, C_a, w_LS_cells, xkey=None, eff_table=None,
+                  C_l, C_r, C_b, C_a, w_LS_cells, p0_cells=None,
+                  xkey=None, eff_table=None,
                   *, do_cond=True, do_adve=True, block_rows=128,
                   do_rebin=False, interpret=False, r_max_um=0.0,
                   eff_clamp=0, x_wrap=True, coal_pairing="stride"):
@@ -603,12 +620,15 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
 
     arrays = tuple(prep(a) for a in (n, rw2, rd3, kpa, x, z)
                    + ((xkey,) if do_xmerge else ()))
+    if p0_cells is None:
+        p0_cells = jnp.full_like(jnp.asarray(rhod, jnp.float32), 1e5)
     cells = tuple(
         prep_cell(a, f) for a, f in (
             (thadv, 300.0), (rvadv, 0.01), (th0, 300.0), (rv0, 0.01),
             (rhod, 1.0), (dv, 1.0), (lam_D, 1e-7), (lam_K, 1e-7),
             (C_l, 0.0), (C_r, 0.0), (C_b, 0.0), (C_a, 0.0),
-            (i_row, 0.0), (k_row, 0.0), (w_LS_cells, 0.0)))
+            (i_row, 0.0), (k_row, 0.0), (w_LS_cells, 0.0),
+            (p0_cells, 1e5)))
     params32 = jnp.concatenate([
         jnp.asarray(params, jnp.float32).reshape(-1),
         jnp.ones((1,), jnp.float32)])
@@ -668,7 +688,7 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
         out_shape=tuple([sd_shape] * 8 + [cell_shape] * 6
                         + [jax.ShapeDtypeStruct((nblk, 8, 128),
                                                 jnp.float32)]),
-        in_specs=[scal, scal] + eff_specs + sd_specs + [cspec] * 15,
+        in_specs=[scal, scal] + eff_specs + sd_specs + [cspec] * 16,
         out_specs=tuple([spec] * 8 + [cspec] * 6 + [pspec]),
         input_output_aliases=aliases,
         interpret=interpret,
@@ -681,7 +701,7 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
 
     sd = tuple(o[:n_cell] for o in outs[:8])
     cell_out = tuple(o[:n_cell, 0] for o in outs[8:14])
-    puddle = jnp.sum(outs[14][:, 0, :6], axis=0)
+    puddle = jnp.sum(outs[14][:, 0, :7], axis=0)
     return sd + cell_out + (puddle,)
 
 

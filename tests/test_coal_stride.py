@@ -222,3 +222,35 @@ def test_golovin_spectrum_stride_schedule():
     err = np.sqrt(np.mean((spec[mask] - ana[mask]) ** 2))
     # same gate as the on-TPU sort-pairing kernel (r4: 2.66e-5)
     assert err < 3.5e-5, err
+
+
+def test_stride_const_multi_overflow_flag():
+    """Equal multiplicities (const-multi init): colliding pairs leave the
+    big SD at n=0 (recycling candidates, coal.ipp:243-246) and a
+    multi-collision demand raises the overflow flag that drives the
+    adaptive sstp_coal growth (coal.ipp:224-227) — the resident kernel
+    emits it as puddle lane 6."""
+    rng = np.random.default_rng(3)
+    cfg = _cfg()
+    params = jnp.asarray([1500.0])
+    rows, cap = 8, 64
+    n = np.zeros((rows, cap))
+    n[:, :32] = 2**16    # constant multiplicity
+    rw = rng.uniform(2e-5, 6e-5, (rows, cap))
+    rw2 = np.where(n > 0, rw**2, 0.0)
+    rd3 = np.where(n > 0, 1e-21, 0.0)
+    kpa = np.where(n > 0, 0.61, 0.0)
+    vt = np.zeros_like(n)
+    vals = tuple(jnp.asarray(a) for a in (n, rw2, rd3, kpa, vt))
+    u01 = jnp.asarray(rng.random((rows, cap)))
+    dv = jnp.ones((rows, 1))
+    rho = jnp.ones((rows, 1))
+    eta = jnp.full((rows, 1), 1.8e-5)
+    n1, rw2_1, rd3_1, kpa_1, ovf = dense_mod.pair_and_collide_stride(
+        cfg, params, vals, 2, dv, rho, eta, 5000.0, u01)
+    n1 = np.asarray(n1)
+    assert bool(ovf)                       # multi-collision demanded
+    assert ((n1 == 0) & (np.asarray(rw2_1) > 0)).any()  # flagged slots
+    # water conserved through the equal-multiplicity collisions too
+    assert (n1 * np.asarray(rw2_1)**1.5).sum() == pytest.approx(
+        (n * rw2**1.5).sum(), rel=1e-12)

@@ -137,3 +137,75 @@ def test_deferred_xmerge_matches_dense_xla():
     np.testing.assert_allclose(a[:, 3], b[:, 3], rtol=1e-5)   # x
     np.testing.assert_allclose(a[:, 4], b[:, 4], rtol=1e-5)   # z
     assert float(d_k.overflow) == 0.0
+
+
+def test_resident_step_const_p_matches_dense_xla():
+    """The th_std/const_p closure inside the resident kernel (round-5
+    widening: the p0 profile rides as a 16th cell input) must match the
+    XLA dense pipeline exactly, like the th_dry variant above."""
+    NX = NZ = 8
+    oi = lgrngn.opts_init_t()
+
+    def lognorm(lnr):
+        from math import exp, log, pi, sqrt
+        mean_r, stdev, n_tot = 0.04e-6 / 2, 1.4, 60e6
+        return (n_tot * np.exp(-((lnr - log(mean_r)) ** 2)
+                               / 2 / log(stdev) ** 2)
+                / log(stdev) / sqrt(2 * pi))
+
+    oi.dry_distros = {(0.61, 0.0): lognorm}
+    oi.coal_switch = False
+    oi.sedi_switch = True
+    oi.terminal_velocity = lgrngn.vt_t.beard77
+    oi.dt = 1
+    oi.nx, oi.nz = NX, NZ
+    oi.dx = oi.dz = 100.0
+    oi.x1, oi.z1 = NX * 100.0, NZ * 100.0
+    oi.sd_conc = 16
+    oi.n_sd_max = 16 * NX * NZ
+    oi.sstp_cond = 2
+    oi.th_dry = False
+    oi.const_p = True
+    th = (289.0 * (100000.0 / 90000.0) ** (287.0 / 1005.0)
+          ) * np.ones((NX, NZ))
+    rv = 7.5e-3 * np.ones((NX, NZ))
+    rhod = np.ones((NX, NZ))
+    p0 = 90000.0 * np.ones((NX, NZ))
+    Cx = 0.2 * np.ones((NX + 1, NZ))
+    Cz = -0.1 * np.ones((NX, NZ + 1))
+    prt = lgrngn.factory(lgrngn.backend_t.serial, oi)
+    prt.init(th, rv, rhod, p0, Cx=Cx, Cz=Cz)
+    cfg = prt.cfg
+    assert not cfg.th_dry and cfg.const_p
+    assert dm.resident_static_ok(cfg)
+
+    d = jax.jit(dm.pack, static_argnums=(0, 2))(cfg, prt.state, 32)
+    f32 = lambda a: a.astype(jnp.float32) if a.dtype == jnp.float64 else a
+    d = jax.tree.map(f32, d)
+    d = dataclasses.replace(
+        d, vt=vterm_mod.vt_of(cfg, d.rw2, d.T[:, None], d.p[:, None],
+                              d.rhod[:, None], d.eta[:, None]))
+    thv = jnp.asarray(th, jnp.float32).reshape(-1)
+    rvv = jnp.asarray(rv, jnp.float32).reshape(-1)
+    dt = 1.0
+    params = jnp.zeros((0,), jnp.float32)
+
+    d_x, th_x, rv_x = dm.step_cond(cfg, d, thv, rvv, dt, 44.0)
+    d_x = dataclasses.replace(
+        d_x, vt=vterm_mod.vt_of(cfg, d_x.rw2, d_x.T[:, None],
+                                d_x.p[:, None], d_x.rhod[:, None],
+                                d_x.eta[:, None]))
+    d_x = dm.adve_sedi_bcnd(cfg, d_x, dt, True)
+    d_x = dm.rebin(cfg, d_x)
+
+    with pltpu.force_tpu_interpret_mode():
+        d_k, th_k, rv_k = dm.step_fused(cfg, d, thv, rvv, params, dt,
+                                        44.0, 2, False, True)
+
+    np.testing.assert_array_equal(np.asarray(th_k), np.asarray(th_x))
+    np.testing.assert_array_equal(np.asarray(rv_k), np.asarray(rv_x))
+    np.testing.assert_array_equal(np.asarray(d_k.p), np.asarray(d_x.p))
+    a, b = _multiset(d_k, cfg), _multiset(d_x, cfg)
+    assert a.shape == b.shape
+    np.testing.assert_array_equal(a[:, [0, 1, 3, 4]], b[:, [0, 1, 3, 4]])
+    np.testing.assert_allclose(a[:, 2], b[:, 2], rtol=1e-5)
