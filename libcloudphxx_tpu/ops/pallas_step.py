@@ -692,11 +692,12 @@ def step_resident(cfg, sstp_cond, sstp_coal, dt, RH_max, do_coal, do_sedi,
         out_specs=tuple([spec] * 8 + [cspec] * 6 + [pspec]),
         input_output_aliases=aliases,
         interpret=interpret,
-        # the unrolled efficiency sweep's live temporaries push the
-        # Mosaic vector stack past the 16 MB default scoped-vmem limit
-        # (measured 22.2 MB at bench shape); physical VMEM is 128 MB
-        compiler_params=(pltpu.CompilerParams(vmem_limit_bytes=48 << 20)
-                         if n_eff else None),
+        # the default 16 MB scoped-vmem limit is too small for (a) the
+        # unrolled efficiency sweep's live temporaries (22.2 MB at bench
+        # shape) and (b) the partition epilogue's two per-direction
+        # streams at row capacity 256 (16.31 MB — the r5 sustained-rain
+        # redo path compiles cap-256 kernels); physical VMEM is 128 MB
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 << 20),
     )(seed32, params32, *eff_args, *sd_args, *cells)
 
     sd = tuple(o[:n_cell] for o in outs[:8])
@@ -820,6 +821,9 @@ def rebin_x(cfg, n, rw2, rd3, kpa, vt, x, z, xkey,
         in_specs=[spec_l, spec_c, spec_r] * 8 + mp_in_specs,
         out_specs=tuple([spec_c] * 7 + [pspec] + mp_out_specs),
         interpret=interpret,
+        # the width-2cap partition streams need > 16 MB scoped vmem at
+        # row capacity 256 (21.3 MB measured; physical VMEM is 128 MB)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 << 20),
     )(*arrays, *mp_args)
     drops = jnp.sum(outs[7][:, 0, 0])
     return outs[:7] + (drops,) + tuple(outs[8:])
