@@ -150,9 +150,9 @@ def run():
             continue
         fails += 1
         print(f"# chunk crashed (rc {r}), retry {fails}", flush=True)
-        if fails >= 4:
+        if fails >= 20:
             sys.exit(f"giving up after {fails} consecutive crashes")
-        time.sleep(30)
+        time.sleep(45)
     subprocess.run([sys.executable, os.path.abspath(__file__), "finalize"],
                    cwd=REPO, timeout=1800, check=True)
 
