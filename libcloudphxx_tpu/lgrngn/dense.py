@@ -1268,7 +1268,10 @@ def rebin_block_rows(cfg: StaticConfig, limit: int = 256):
     (measured: 152 beats 304 at bench shape, and the x-merge kernel reads
     a 3-block window of 24 VMEM inputs against the 16 MB scoped budget).
     Returns 0 when no such block exists — callers fall back to the XLA
-    neighbour re-bin."""
+    neighbour re-bin.  LIBCLOUD_BLOCK_ROWS overrides the limit for A/B
+    sweeps (the chosen block must still satisfy the divisibility rules)."""
+    import os
+    limit = int(os.environ.get("LIBCLOUD_BLOCK_ROWS", limit))
     best = cfg.nz if cfg.nz % 8 == 0 and cfg.nz <= limit else 0
     for cand in range(2, cfg.nx + 1):
         rows = cand * cfg.nz
